@@ -1,0 +1,115 @@
+"""Attribute-style YAML config, replacing the reference's Munch usage.
+
+The reference loads ``configs/*.yaml`` through ``Munch.fromDict``
+(reference: main.py:82-85).  We provide the same attribute access on top of
+a plain dict, plus typed defaults covering every key the three reference
+configs use (reference: configs/config.yaml, config_lidar.yaml,
+config_lidar_ped.yaml) and the TPU-specific knobs this rebuild adds.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Iterator, Mapping
+
+import yaml
+
+
+class Config(dict):
+    """dict with attribute access and deep-copy-on-merge semantics."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        out = cls()
+        for k, v in d.items():
+            out[k] = cls.from_dict(v) if isinstance(v, Mapping) else v
+        return out
+
+    def merged(self, other: Mapping[str, Any]) -> "Config":
+        out = copy.deepcopy(self)
+        for k, v in other.items():
+            if isinstance(v, Mapping) and isinstance(out.get(k), Mapping):
+                out[k] = Config.from_dict(out[k]).merged(v)
+            else:
+                out[k] = copy.deepcopy(v)
+        return out
+
+    def keys_iter(self) -> Iterator[str]:
+        return iter(self.keys())
+
+
+#: Defaults mirror configs/config.yaml of the reference, with TPU additions.
+DEFAULTS: Dict[str, Any] = dict(
+    # Experiment
+    output_path="workspace",
+    save=True,
+    dataset="redwood",            # redwood, pcn, scannet, kitti
+    device="tpu",                 # informational; jax picks the backend
+    seed=0,
+    # Depth Prompting (reference: configs/config.yaml:8-18)
+    coords_scale=0.5,
+    distance=1.6,
+    fovy=49.1,
+    point_size=1,
+    mask_pixel_rate=3,
+    downsample_num=10000,
+    removal_radius=10000,
+    camera_distribution="fibonacci_sphere",
+    cam_res=256,
+    view_num=1024,
+    camera_base="jax",            # the reference's 'kaolin'/'blender' switch
+    # inpaint (reference: configs/config.yaml:20-24)
+    res=256,
+    edge_point_size=2,
+    generate_res=512,
+    # crop and rescale (reference: configs/config.yaml:26-28)
+    rescale=True,
+    padding=0.15,
+    mask_ratio_thresh=0.82,
+    # backends (reference: configs/config.yaml:30-34)
+    inpainter="jax",              # ['jax', 'cv2', 'flux', 'DDNM']
+    rembg_model="synthetic",      # ['synthetic', 'rmbg', 'rembg']
+    control_model="synthetic",    # ['synthetic', 'controlnet', 'adapter', 'flux', 'qwen']
+    generative_model="synthetic", # ['synthetic', 'instantmesh', 'trellis', 'sf3d']
+    # TPU rebuild additions
+    visibility="zbuffer",          # ['zbuffer' (TPU), 'hpr' (exact, host hull)]
+    metric_points=16384,           # FPS size for CD/EMD eval (reference: main.py:21-22)
+    fused_points=20000,            # fusion FPS size (reference: reg_xyz.py:215)
+    glb_sample_points=163840,      # GLB surface samples (reference: reg_xyz.py:125)
+    pose_iters=200,
+    pose_lr=0.01,
+    pose_render_size=224,
+    pose_starts=4,
+    emd_eps=0.005,
+    emd_iters=50,
+    weights_dir=None,              # where pretrained safetensors live, if any
+    model_size="tiny",             # generative model scale: tiny|base|full
+    mesh_shape=None,               # e.g. {"dp": 8} for object parallelism
+)
+
+
+def load_config(path: str | None = None, **overrides: Any) -> Config:
+    """Load a YAML config merged over DEFAULTS (+ keyword overrides)."""
+    cfg = Config.from_dict(DEFAULTS)
+    if path is not None:
+        with open(path, "r") as f:
+            data = yaml.safe_load(f.read()) or {}
+        cfg = cfg.merged(data)
+    if overrides:
+        cfg = cfg.merged(overrides)
+    return cfg

@@ -1,0 +1,196 @@
+"""Bidirectional nearest-neighbor (Chamfer) kernel for TPU.
+
+TPU-native equivalent of the reference CUDA extension
+``loss_functions/Chamfer3D/chamfer3D.cu`` (NmDistanceKernel: shared-memory
+tiled min-distance scan, squared distances + argmin both directions;
+backward scatters ±2·g·(x−y) with atomicAdd).
+
+Design here:
+  * A Pallas kernel tiles cloud A's rows over the grid and streams cloud B
+    through VMEM in column tiles, keeping a running (min, argmin) in the
+    output block (revisited across the minor grid axis).  Pairwise squared
+    distances are computed by coordinate broadcast on the VPU — exact fp32,
+    no |x|²−2xy expansion cancellation.
+  * A pure-XLA fallback (lax.map over row tiles) runs on CPU for tests and
+    as a safety net.
+  * ``chamfer_nn`` wraps both in a ``jax.custom_vjp`` whose backward is the
+    same gather/scatter gradient as the reference's, but computed with XLA
+    scatter-add instead of atomics.
+
+Shapes: x [B,N,3] (or [N,3]), y [B,M,3].  Returns (d1 [B,N], d2 [B,M],
+idx1 [B,N] int32, idx2 [B,M] int32) with d = squared L2, matching
+``chamfer_3DDist`` (reference: loss_functions/Chamfer3D/dist_chamfer_3D.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TX = 256   # rows of cloud A per grid step
+_TY = 2048  # columns (cloud B points) per streamed tile
+
+_BIG = jnp.float32(1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------- Pallas ---
+
+def _nn_kernel(x_ref, y_ref, val_ref, idx_ref):
+    """One (row-tile i, col-tile j) step of the streaming min/argmin scan."""
+    j = pl.program_id(1)
+    x = x_ref[:]           # [TX, 3]
+    y = y_ref[:]           # [TY, 3]
+    # pairwise squared distances on the VPU: [TX, TY]
+    d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+    for c in range(3):
+        diff = x[:, c][:, None] - y[:, c][None, :]
+        d = d + diff * diff
+    tile_val = jnp.min(d, axis=1)
+    tile_idx = jnp.argmin(d, axis=1).astype(jnp.int32) + j * y.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[0, :] = tile_val
+        idx_ref[0, :] = tile_idx
+
+    @pl.when(j > 0)
+    def _():
+        better = tile_val < val_ref[0, :]
+        idx_ref[0, :] = jnp.where(better, tile_idx, idx_ref[0, :])
+        val_ref[0, :] = jnp.minimum(tile_val, val_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tx", "ty"))
+def _nn_pallas(x: jnp.ndarray, y: jnp.ndarray, tx: int = _TX, ty: int = _TY
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-directional NN: for each x row, (min squared dist, argmin) into y."""
+    b, n, _ = x.shape
+    m = y.shape[1]
+    n_pad, m_pad = _round_up(n, tx), _round_up(m, ty)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 0)))
+    # pad y with far-away sentinels so padded columns never win the argmin
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, m_pad - m), (0, 0)),
+                 constant_values=1e15)
+    grid = (n_pad // tx, m_pad // ty)
+    call = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tx, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((ty, 3), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tx), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tx), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+    )
+    val, idx = jax.vmap(call)(xp, yp)   # batch via vmap over the kernel
+    return val[:, 0, :n], idx[:, 0, :n]
+
+
+# ------------------------------------------------------------------- XLA ---
+
+@jax.jit
+def _nn_xla(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fallback NN via row-tiled lax.map (bounded memory, any backend)."""
+    b, n, _ = x.shape
+    tx = min(_round_up(n, 8), 1024)
+    n_pad = _round_up(n, tx)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 0)))
+    xt = xp.reshape(b, n_pad // tx, tx, 3)
+    yf = y.astype(jnp.float32)
+
+    def one_batch(args):
+        xtb, yb = args
+
+        def one_tile(x_tile):
+            d = jnp.sum((x_tile[:, None, :] - yb[None, :, :]) ** 2, axis=-1)
+            return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        return jax.lax.map(one_tile, xtb)
+
+    val, idx = jax.lax.map(one_batch, (xt, yf))
+    return val.reshape(b, n_pad)[:, :n], idx.reshape(b, n_pad)[:, :n]
+
+
+def _nn(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from genpc_tpu.runtime import use_pallas
+    if use_pallas():
+        return _nn_pallas(x, y)
+    return _nn_xla(x, y)
+
+
+# ------------------------------------------------------------ public API ---
+
+@jax.custom_vjp
+def chamfer_nn(x: jnp.ndarray, y: jnp.ndarray):
+    """Bidirectional NN: (d1, d2, idx1, idx2); d squared, like the reference."""
+    d1, i1 = _nn(x, y)
+    d2, i2 = _nn(y, x)
+    return d1, d2, i1, i2
+
+
+def _chamfer_fwd(x, y):
+    out = chamfer_nn(x, y)
+    d1, d2, i1, i2 = out
+    return out, (x, y, i1, i2)
+
+
+def _chamfer_bwd(res, cot):
+    x, y, i1, i2 = res
+    gd1, gd2 = cot[0], cot[1]
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    y_at_i1 = jnp.take_along_axis(y, i1[..., None].astype(jnp.int32), axis=1)
+    x_at_i2 = jnp.take_along_axis(x, i2[..., None].astype(jnp.int32), axis=1)
+    # d1 terms (reference chamfer3D.cu backward: ±2·g·(x−y))
+    gx = 2.0 * gd1[..., None] * (x - y_at_i1)
+    gy_from_d1 = -2.0 * gd1[..., None] * (x - y_at_i1)
+    # d2 terms
+    gy = 2.0 * gd2[..., None] * (y - x_at_i2)
+    gx_from_d2 = -2.0 * gd2[..., None] * (y - x_at_i2)
+
+    def scatter_add(base, idx, upd):
+        return base.at[jnp.arange(base.shape[0])[:, None], idx].add(upd)
+
+    gx = gx + scatter_add(jnp.zeros_like(x), i2, gx_from_d2)
+    gy = scatter_add(jnp.zeros_like(y), i1, gy_from_d1) + gy
+    return gx, gy
+
+
+chamfer_nn.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def _ensure_batched(p):
+    return (p[None], True) if p.ndim == 2 else (p, False)
+
+
+def chamfer_distances(x, y):
+    """(d1, d2, idx1, idx2) accepting [N,3] or [B,N,3] inputs."""
+    xb, squeeze_x = _ensure_batched(jnp.asarray(x))
+    yb, _ = _ensure_batched(jnp.asarray(y))
+    d1, d2, i1, i2 = chamfer_nn(xb, yb)
+    if squeeze_x:
+        return d1[0], d2[0], i1[0], i2[0]
+    return d1, d2, i1, i2
+
+
+def nearest_neighbor(x, y):
+    """One-directional NN (squared dist, index) — reused by ICP/dedup."""
+    xb, squeeze = _ensure_batched(jnp.asarray(x))
+    yb, _ = _ensure_batched(jnp.asarray(y))
+    d, i = _nn(xb, yb)
+    return (d[0], i[0]) if squeeze else (d, i)

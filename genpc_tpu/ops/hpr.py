@@ -1,0 +1,118 @@
+"""Point-cloud visibility: exact hidden-point removal + TPU z-buffer proxy.
+
+The reference calls open3d ``hidden_point_removal`` (Katz et al. spherical
+flipping + convex hull) once per candidate viewpoint — 1024 CPU hull builds
+per object, the dominant Stage-1 cost (reference: DepthPrompting.py:273-290,
+SURVEY call-stack hot loop #2).
+
+Two implementations:
+  * ``hidden_point_removal`` — exact Katz HPR: spherical flip in numpy plus
+    a scipy convex hull on host.  Used when numeric parity with open3d
+    matters (cfg.visibility == 'hpr').
+  * ``visible_points_zbuffer`` — a jit-compiled z-buffer visibility test:
+    project points toward the viewpoint, scatter-min depth per pixel, a
+    point is visible iff its depth is within ``tol`` of its pixel's nearest
+    depth.  vmappable over all 1024 viewpoints at once, fully on-device —
+    this is the TPU default for viewpoint *selection*, where only the
+    argmax over per-view visible counts is consumed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hidden_point_removal(points: np.ndarray, viewpoint: np.ndarray,
+                         radius_param: float) -> np.ndarray:
+    """Exact Katz spherical-flip HPR; returns a boolean visibility mask.
+
+    Matches open3d semantics: coordinates are flipped about a sphere of
+    radius ``radius_param`` centred at the viewpoint; visible points are
+    hull vertices of the flipped set plus the camera.
+    """
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points, np.float64) - np.asarray(viewpoint, np.float64)
+    norms = np.linalg.norm(pts, axis=1, keepdims=True)
+    norms = np.maximum(norms, 1e-12)
+    flipped = pts + 2.0 * (radius_param - norms) * (pts / norms)
+    cloud = np.concatenate([flipped, np.zeros((1, 3))], axis=0)
+    hull = ConvexHull(cloud)
+    mask = np.zeros(len(points), bool)
+    vis = hull.vertices
+    mask[vis[vis < len(points)]] = True
+    return mask
+
+
+@functools.partial(jax.jit, static_argnames=("res", "splat"))
+def visible_points_zbuffer(points: jnp.ndarray, viewpoints: jnp.ndarray,
+                           res: int = 96, tol: float = 0.05,
+                           splat: int = 1) -> jnp.ndarray:
+    """Z-buffer visibility for many viewpoints at once.
+
+    points [N,3]; viewpoints [V,3] (cameras looking at the origin).
+    Returns bool [V,N].  Each point's depth is splatted into a
+    (2*splat+1)² pixel footprint so sparse clouds still occlude; a point
+    passes if its depth is within ``tol``·depth_range of its own pixel's
+    nearest splatted depth.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+
+    def one_view(eye):
+        fwd = -eye / (jnp.linalg.norm(eye) + 1e-9)
+        world_up = jnp.where(jnp.abs(fwd[1]) > 0.99,
+                             jnp.array([0.0, 0.0, 1.0]),
+                             jnp.array([0.0, 1.0, 0.0]))
+        right = jnp.cross(fwd, world_up)
+        right = right / (jnp.linalg.norm(right) + 1e-9)
+        up = jnp.cross(right, fwd)
+        rel = pts - eye
+        z = rel @ fwd                    # depth along view axis
+        z_safe = jnp.maximum(z, 1e-6)
+        u = (rel @ right) / z_safe       # perspective
+        v = (rel @ up) / z_safe
+        # normalize uv span to the pixel grid
+        umin, umax = u.min(), u.max()
+        vmin, vmax = v.min(), v.max()
+        span = jnp.maximum(jnp.maximum(umax - umin, vmax - vmin), 1e-9)
+        px = jnp.clip(((u - umin) / span * (res - 1)).astype(jnp.int32), 0, res - 1)
+        py = jnp.clip(((v - vmin) / span * (res - 1)).astype(jnp.int32), 0, res - 1)
+        zbuf = jnp.full((res * res,), jnp.inf, jnp.float32)
+        for dy in range(-splat, splat + 1):
+            for dx in range(-splat, splat + 1):
+                qx = jnp.clip(px + dx, 0, res - 1)
+                qy = jnp.clip(py + dy, 0, res - 1)
+                zbuf = zbuf.at[qy * res + qx].min(z)
+        slack = tol * (z.max() - z.min() + 1e-9)
+        return z <= zbuf[py * res + px] + slack
+
+    return jax.vmap(one_view)(jnp.asarray(viewpoints, jnp.float32))
+
+
+def auto_zbuffer_res(n_points: int) -> int:
+    """Pick a grid resolution matched to cloud density (≈0.8·sqrt(N))."""
+    return int(np.clip(0.8 * np.sqrt(n_points), 32, 160))
+
+
+def visible_points(points, viewpoints, radius_param: float,
+                   method: str = "zbuffer", res: int | None = None):
+    """Dispatch: 'zbuffer' (TPU, batched) or 'hpr' (exact, host loop).
+
+    Returns a bool array [V, N] like the reference's getVisiblePoints
+    (reference: DepthPrompting.py:273-290).
+    """
+    viewpoints = np.atleast_2d(np.asarray(viewpoints, np.float64))
+    if method == "zbuffer":
+        if res is None:
+            res = auto_zbuffer_res(len(points))
+        return np.asarray(visible_points_zbuffer(
+            jnp.asarray(points), jnp.asarray(viewpoints), res=res))
+    pts = np.asarray(points)
+    out = np.zeros((len(viewpoints), len(pts)), bool)
+    for i, vp in enumerate(viewpoints):
+        out[i] = hidden_point_removal(pts, vp, radius_param)
+    return out

@@ -1,0 +1,35 @@
+"""Backend/runtime selection helpers.
+
+``use_pallas()`` decides whether hot ops lower through Pallas/Mosaic
+(TPU) or the pure-XLA fallback.  Overridable with GENPC_IMPL=xla|pallas,
+which the test suite uses to pin kernels to the CPU path while the same
+process also owns a real TPU backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def use_pallas() -> bool:
+    impl = os.environ.get("GENPC_IMPL", "auto")
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def cpu_mesh_devices(n: int):
+    """n CPU devices for virtual-mesh tests (requires the host-count flag)."""
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise RuntimeError(
+            f"need {n} cpu devices; run with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+    return devs[:n]

@@ -1,0 +1,159 @@
+"""7-DoF object pose optimization (rotation-6D + translation + log-scale).
+
+TPU-native rebuild of the reference's Pulsar-based optimizer
+(reference: optim_registration/diff_obj_pose.py:339-594):
+  * render the partial cloud once from a fixed camera (eye (0,0,3),
+    focal 4.0, 224², diff_obj_pose.py:108-134) -> reference image + mask;
+  * 4 multi-starts with y-axis 0/90/180/270° initial rotations
+    (diff_obj_pose.py:518-521), scale init 0.75 (log-scale param, :367);
+  * per-step loss = soft-mask (MSE·30 + BCE) + 10·Dice
+    + 3·(CD(result→partial) + 0.5·CD(partial→result))
+    + 0.001·‖RRᵀ−I‖ ortho regularizer (diff_obj_pose.py:286-336,543-545);
+  * Adam with per-parameter LRs (lr, 0.2·lr, 0.1·lr) (diff_obj_pose.py:524-528).
+
+Differences by design: the four starts are one vmapped jitted program (the
+reference runs them sequentially with a Python inner loop and a CUDA
+chamfer call per step); rendering is the scatter-based soft splat
+(render/point_renderer.py) instead of Pulsar; the reference's patience-300
+early stop can never fire at iters=200, so we run the fixed budget.
+Returns the final 4×4 [s·R | t] of the best start (complete -> partial
+camera frame), like diff_obj_pose.py:585-594.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genpc_tpu.geometry.transforms import (
+    build_transform, rot6d_from_axis_angle, rotation_6d_to_matrix)
+from genpc_tpu.metrics.losses import chamfer_partial_l1
+from genpc_tpu.render.point_renderer import (
+    RenderCamera, render_points, soft_mask, hard_mask)
+
+
+def _normalize_images(ref_img, result_img):
+    """Statistical color match of result to ref (diff_obj_pose.py:201-236)."""
+    ref_mean = ref_img.mean(axis=(0, 1), keepdims=True)
+    ref_std = ref_img.std(axis=(0, 1), keepdims=True) + 1e-6
+    res_mean = result_img.mean(axis=(0, 1), keepdims=True)
+    res_std = result_img.std(axis=(0, 1), keepdims=True) + 1e-6
+    out = (result_img - res_mean) / res_std * ref_std + ref_mean
+    return ref_img, jnp.clip(out, 0.0, 1.0)
+
+
+def _dice_loss(pred, target, smooth=1e-6):
+    inter = (pred * target).sum()
+    return 1.0 - (2.0 * inter + smooth) / (pred.sum() + target.sum() + smooth)
+
+
+def _bce(pred, target):
+    p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
+    return -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p)).mean()
+
+
+def _transform_points(params, vert_pos, center):
+    R = rotation_6d_to_matrix(params["rot6d"])
+    scale = jnp.exp(params["log_scale"])[0]
+    local = (vert_pos - center) * scale
+    local = local @ R.T
+    return local + center + params["trans"], R, scale
+
+
+def pose_loss(params, vert_pos, vert_col, center, partial_xyz,
+              ref_img, ref_mask, camera, radius, gamma=1e-2):
+    pts, R, scale = _transform_points(params, vert_pos, center)
+    result = render_points(pts, vert_col, radius, camera, gamma=gamma)
+    ref_n, result_n = _normalize_images(ref_img, result)
+    mask_result = soft_mask(result_n)
+    mask_ref = soft_mask(ref_n)
+    mask_loss = (jnp.mean((mask_result - mask_ref) ** 2) * 30.0
+                 + _bce(mask_result, mask_ref)
+                 + 10.0 * _dice_loss(mask_result, mask_ref))
+    cd = (chamfer_partial_l1(pts, partial_xyz)
+          + 0.5 * chamfer_partial_l1(partial_xyz, pts))
+    # eps keeps the Frobenius-norm gradient finite at exact orthogonality
+    # (Gram-Schmidt output makes the residual exactly zero at init)
+    ortho = jnp.sqrt(jnp.sum((R @ R.T - jnp.eye(3)) ** 2) + 1e-12)
+    return mask_loss + 3.0 * cd + 0.001 * ortho
+
+
+def render_reference_image(partial_xyz, partial_col, radius, render_size):
+    """Reference render + hard mask (diff_obj_pose.py:108-134)."""
+    cam = RenderCamera.default(render_size)
+    img = render_points(jnp.asarray(partial_xyz, jnp.float32),
+                        jnp.asarray(partial_col, jnp.float32),
+                        radius, cam)
+    return img, hard_mask(img), cam
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "render_size"))
+def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
+                         radius, lr, iters: int, render_size: int):
+    ref_img, ref_mask, camera = None, None, None
+    camera = RenderCamera.default(render_size)
+    ref_img = render_points(partial_xyz, partial_col, radius, camera)
+    ref_mask = hard_mask(ref_img)
+    center = vert_pos.mean(axis=0)
+
+    init_rots = jnp.stack([rot6d_from_axis_angle("y", 90.0 * s)
+                           for s in range(4)])
+
+    tx = optax.multi_transform(
+        {"rot": optax.adam(lr), "trans": optax.adam(lr * 0.2),
+         "scale": optax.adam(lr * 0.1)},
+        {"rot6d": "rot", "trans": "trans", "log_scale": "scale"},
+    )
+
+    def one_start(rot_init):
+        params = {
+            "rot6d": rot_init,
+            "trans": jnp.zeros(3, jnp.float32),
+            "log_scale": jnp.log(jnp.full((1,), 0.75, jnp.float32)),
+        }
+        opt_state = tx.init(params)
+
+        def step(_, carry):
+            params, opt_state, best = carry
+            loss, grads = jax.value_and_grad(pose_loss)(
+                params, vert_pos, vert_col, center, partial_xyz,
+                ref_img, ref_mask, camera, radius)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, jnp.minimum(best, loss)
+
+        params, _, best = jax.lax.fori_loop(
+            0, iters, step, (params, opt_state, jnp.float32(jnp.inf)))
+        return params, best
+
+    return jax.vmap(one_start)(init_rots)
+
+
+def object_pose_optimization(complete_xyz, complete_col,
+                             partial_xyz, partial_col,
+                             radius: float = 0.02, lr: float = 0.01,
+                             iters: int = 200, render_size: int = 224,
+                             ) -> np.ndarray:
+    """Optimize complete->partial pose; returns the best 4x4 as numpy.
+
+    Array-based equivalent of the reference entry point
+    (diff_obj_pose.py:496-594); file loading lives in the pipeline layer.
+    """
+    params, best = _optimize_all_starts(
+        jnp.asarray(complete_xyz, jnp.float32),
+        jnp.asarray(complete_col, jnp.float32),
+        jnp.asarray(partial_xyz, jnp.float32),
+        jnp.asarray(partial_col, jnp.float32),
+        jnp.float32(radius), jnp.float32(lr), int(iters), int(render_size))
+    k = int(jnp.argmin(best))
+    rot6d = params["rot6d"][k]
+    trans = params["trans"][k]
+    scale = jnp.exp(params["log_scale"][k])[0]
+    R = rotation_6d_to_matrix(rot6d)
+    T = build_transform(R, trans, scale)
+    return np.asarray(T)

@@ -1,0 +1,134 @@
+"""Differentiable soft point-splat renderer (PyTorch3D Pulsar replacement).
+
+The reference's 7-DoF pose optimizer renders point clouds with the Pulsar
+sphere renderer: fixed camera at (0,0,3), focal 4.0, 224², gamma=1e-2,
+world-space radii, black background (reference:
+optim_registration/diff_obj_pose.py:108-134, 374-391, 419-436).
+
+TPU-native design: each point projects to a continuous pixel location and
+splats a Gaussian footprint over a static K×K window via scatter-add —
+fully differentiable w.r.t. point positions (through both the footprint
+weights and the depth compositing).  Depth compositing follows Pulsar's
+exponential weighting exp(d̂/γ) (closer points dominate as γ→0), computed
+stably in log space with a per-pixel scatter-max pass.  Gradients flow
+through XLA scatter-add; there is no Python loop over points.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RenderCamera:
+    """Fixed pinhole camera for the pose-optimization renders.
+
+    Matches the reference setup: eye on +z looking at the origin with +y up
+    (pytorch3d look_at_view_transform(eye=(0,0,3))), focal length in NDC
+    units (4.0), square image.
+    """
+    eye: jnp.ndarray          # [3]
+    focal: float
+    res: int
+    znear: float = 1e-4
+    zfar: float = 5.0
+
+    def tree_flatten(self):
+        return (self.eye,), (self.focal, self.res, self.znear, self.zfar)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], *aux)
+
+    @classmethod
+    def default(cls, render_size: int = 224, eye=(0.0, 0.0, 3.0),
+                focal: float = 4.0) -> "RenderCamera":
+        return cls(jnp.asarray(eye, jnp.float32), focal, render_size)
+
+
+@functools.partial(jax.jit, static_argnames=("footprint",))
+def render_points(points: jnp.ndarray, colors: jnp.ndarray,
+                  radius, camera: RenderCamera, gamma: float = 1e-2,
+                  footprint: int = 3) -> jnp.ndarray:
+    """Render [N,3] points with [N,3] colors -> [res,res,3] image.
+
+    radius: world-space splat radius (scalar or [N]).
+    footprint: half-width of the splat window in pixels (K = 2f+1).
+    """
+    res = camera.res
+    pts = jnp.asarray(points, jnp.float32)
+    cols = jnp.asarray(colors, jnp.float32)
+    rad = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (pts.shape[0],))
+
+    # camera at eye looking at origin, up +y  (x right, y up, z toward cam)
+    depth = jnp.maximum(camera.eye[2] - pts[:, 2], camera.znear)
+    half = res / 2.0
+    px = (pts[:, 0] * camera.focal / depth) * half + half - 0.5
+    py = (-pts[:, 1] * camera.focal / depth) * half + half - 0.5  # +y is up
+
+    # pixel-space splat radius; clamp into [0.3, footprint]
+    rad_pix = jnp.clip(rad * camera.focal / depth * half, 0.3, float(footprint))
+    sigma2 = (rad_pix * 0.6) ** 2
+
+    # Pulsar-style depth weight, normalized to [0,1] (1 = closest)
+    dn = jnp.clip((camera.zfar - depth) / (camera.zfar - camera.znear), 0.0, 1.0)
+
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    npix = res * res
+    in_front = depth > camera.znear
+
+    # pass 1: per-pixel max of dn over covered pixels (for stable softmax)
+    dmax = jnp.full((npix + 1,), -1.0, jnp.float32)
+    offsets = [(dy, dx) for dy in range(-footprint, footprint + 1)
+               for dx in range(-footprint, footprint + 1)]
+    idx_list, w_list = [], []
+    for dy, dx in offsets:
+        cx = ix + dx
+        cy = iy + dy
+        d2 = (px - cx.astype(jnp.float32)) ** 2 + (py - cy.astype(jnp.float32)) ** 2
+        w_s = jnp.exp(-d2 / (2.0 * sigma2))
+        ok = (cx >= 0) & (cx < res) & (cy >= 0) & (cy < res) & in_front & (w_s > 1e-4)
+        idx = jnp.where(ok, cy * res + cx, npix)
+        idx_list.append(idx)
+        w_list.append(jnp.where(ok, w_s, 0.0))
+        dmax = dmax.at[idx].max(jnp.where(ok, dn, -1.0), mode="drop")
+
+    # pass 2: accumulate softmax-weighted colors
+    acc = jnp.zeros((npix + 1, 3), jnp.float32)
+    wacc = jnp.zeros((npix + 1,), jnp.float32)
+    for (idx, w_s) in zip(idx_list, w_list):
+        # dn <= dmax on covered pixels, so clamping to <= 0 is exact; it
+        # also keeps dropped offsets (dummy slot, dmax=-1) from exp-overflow
+        expo = jnp.minimum((dn - jax.lax.stop_gradient(dmax[idx])) / gamma, 0.0)
+        zw = jnp.exp(expo)
+        w = w_s * zw
+        acc = acc.at[idx].add(w[:, None] * cols, mode="drop")
+        wacc = wacc.at[idx].add(w, mode="drop")
+
+    # background weight: a fixed unit weight at dn=0 (normalized vs dmax=1)
+    bg_w = jnp.exp(jnp.float32(-1.0) / gamma) + 1e-8
+    img = acc[:npix] / (wacc[:npix] + bg_w)[:, None]
+    return img.reshape(res, res, 3)
+
+
+def luminance(img: jnp.ndarray) -> jnp.ndarray:
+    """Rec.601 luminance (reference: diff_obj_pose.py:177)."""
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+
+
+def soft_mask(img: jnp.ndarray, threshold: float = 0.1, tau: float = 0.05
+              ) -> jnp.ndarray:
+    """Differentiable occupancy mask (reference: diff_obj_pose.py:258-275)."""
+    return jax.nn.sigmoid((luminance(img) - threshold) / tau)
+
+
+def hard_mask(img: jnp.ndarray, threshold: float = 0.1) -> jnp.ndarray:
+    """Hard-threshold mask (reference: diff_obj_pose.py:166-178)."""
+    return (luminance(img) > threshold).astype(jnp.float32)

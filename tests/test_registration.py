@@ -1,0 +1,112 @@
+import jax.numpy as jnp
+import numpy as np
+
+from genpc_tpu.geometry.transforms import get_rotate_matrix
+from genpc_tpu.registration.icp import (
+    icp, icp_with_scaling, coarse_scale_sweep, iterative_scale_search, kabsch)
+from genpc_tpu.registration.fusion import fuse_clouds, remove_close_points
+from genpc_tpu.registration.pose_optim import object_pose_optimization
+
+
+def _shape_cloud(n=800, seed=0):
+    """An asymmetric L-shaped slab — registrable without symmetry ambiguity."""
+    rng = np.random.default_rng(seed)
+    a = rng.random((n // 2, 3)) * np.array([1.0, 0.2, 0.3])
+    b = rng.random((n // 2, 3)) * np.array([0.25, 0.8, 0.3]) + np.array([0, 0.2, 0])
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_kabsch_exact_recovery():
+    src = jnp.asarray(_shape_cloud(200))
+    R = jnp.asarray(get_rotate_matrix("z", 25), jnp.float32)
+    t = jnp.array([0.3, -0.1, 0.2])
+    tgt = src @ R.T + t
+    R2, t2 = kabsch(src, tgt, jnp.ones(src.shape[0]))
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t), atol=1e-5)
+
+
+def test_icp_recovers_small_transform():
+    src = _shape_cloud(600)
+    R = get_rotate_matrix("y", 8)
+    t = np.array([0.03, -0.02, 0.04])
+    tgt = (src @ R.T + t).astype(np.float32)
+    T, fitness, rmse = icp(src, tgt, max_correspondence_distance=0.2)
+    moved = src @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    err = np.abs(moved - tgt).max()
+    assert err < 0.02
+    assert float(fitness) > 0.99
+
+
+def test_icp_with_scaling():
+    src = _shape_cloud(600)
+    tgt = (src * 0.9).astype(np.float32)  # pure shrink
+    T, fit, rmse = icp_with_scaling(src, tgt, scale=0.9,
+                                    max_correspondence_distance=0.2)
+    moved = src @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    assert np.abs(moved - tgt).max() < 0.05
+
+
+def test_coarse_scale_sweep_finds_scale():
+    src = _shape_cloud(500)
+    # target = complete cloud that is 1/1.2 the source scale: the sweep
+    # looks for s so that ICP(src -> tgt) with scale s fits best
+    tgt = (src * (1.0 / 1.2)).astype(np.float32)
+    best_scale, T, loss = coarse_scale_sweep(src, tgt,
+                                             scales=np.linspace(1.5, 0.8, 11))
+    # applying inv(T) to tgt must land on src (reference scoring path)
+    inv = np.linalg.inv(T)
+    back = tgt @ inv[:3, :3].T + inv[:3, 3]
+    assert np.abs(back - src).mean() < 0.05
+    assert loss < 0.05
+
+
+def test_iterative_scale_search_grid():
+    src = _shape_cloud(400)
+    true = np.array([1.1, 0.9, 1.0])
+    tgt = (src * true).astype(np.float32)
+    S, loss, T = iterative_scale_search(
+        src, tgt, scale_ranges=((0.8, 1.2), (0.8, 1.2), (0.8, 1.2)),
+        scale_steps=5, cd_inv_weight=0.5)
+    got = np.diag(S)[:3]
+    np.testing.assert_allclose(got, true, atol=0.11)  # grid resolution 0.1
+    assert loss < 0.05
+
+
+def test_remove_close_points():
+    src = np.zeros((1, 3), np.float32)
+    tgt = np.array([[0.001, 0, 0], [1.0, 0, 0]], np.float32)
+    kept, _ = remove_close_points(src, tgt, distance_threshold=1e-4)
+    # squared-distance threshold: 0.001² = 1e-6 < 1e-4 -> dropped
+    assert len(kept) == 1 and kept[0, 0] == 1.0
+
+
+def test_fuse_clouds_pipeline():
+    rng = np.random.default_rng(0)
+    src = rng.random((3000, 3)).astype(np.float32)
+    tgt = rng.random((5000, 3)).astype(np.float32) + np.array([0.5, 0, 0])
+    pts, cols = fuse_clouds(src, tgt,
+                            source_colors=np.ones_like(src) * 0.5,
+                            target_colors=np.ones_like(tgt) * 0.7,
+                            num_points=2000)
+    assert len(pts) <= 2000
+    assert cols is not None and len(cols) == len(pts)
+
+
+def test_pose_optimization_recovers_rotation():
+    # complete cloud = L-shape; partial = its points rotated 90° about y.
+    # the optimizer must rotate complete to match the partial render+CD.
+    comp = _shape_cloud(500, seed=1)
+    comp = comp - comp.mean(0)  # center
+    R = get_rotate_matrix("y", 90)
+    partial = (comp @ R.T).astype(np.float32)
+    cols = np.ones_like(comp) * 0.7
+    T = object_pose_optimization(comp, cols, partial, cols,
+                                 radius=0.03, lr=0.01, iters=60,
+                                 render_size=64)
+    # applying T to complete should land near partial (up to CD tolerance)
+    moved = comp @ T[:3, :3].T + T[:3, 3]
+    from genpc_tpu.metrics.losses import chamfer_l1
+    cd_after = float(chamfer_l1(moved, partial))
+    cd_before = float(chamfer_l1(comp, partial))
+    assert cd_after < cd_before * 0.6

@@ -97,6 +97,7 @@ DEFAULTS: Dict[str, Any] = dict(
     pose_starts=4,
     emd_eps=0.005,
     emd_iters=50,
+    input_points=65536,            # fixed input resampling (one compile/run)
     weights_dir=None,              # where pretrained safetensors live, if any
     model_size="tiny",             # generative model scale: tiny|base|full
     mesh_shape=None,               # e.g. {"dp": 8} for object parallelism

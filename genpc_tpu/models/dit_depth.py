@@ -1,0 +1,141 @@
+"""Depth->image generation via MMDiT + rectified flow (FLUX/Qwen variants).
+
+Pipeline rebuild of the reference's two DiT backends:
+  * variant="qwen": Qwen-Image-Edit-style edit conditioning — the depth map
+    is VAE-encoded and its tokens concatenated to the model input; 8 steps,
+    cfg 4.0, the long "professional product photography" prompt
+    (reference: tools/qwen_depth.py:66-132);
+  * variant="flux": FLUX.1-Depth-dev-style channel concatenation of
+    control latents, distilled guidance 10.0, 30 steps
+    (reference: tools/flux_depth.py:32-58).
+
+Whole sampler is one jitted lax.fori_loop over the FlowMatchEuler schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpc_tpu.models.dit import DiTConfig, MMDiT
+from genpc_tpu.models.schedulers import FlowMatchEuler, cfg_combine
+from genpc_tpu.models.text_encoder import PromptEncoder
+from genpc_tpu.models.vae import AutoencoderKL, VAEConfig
+
+QWEN_PROMPT = (
+    "A highly realistic {category} with a common, ordinary appearance, "
+    "matching typical designs found in everyday life. "
+    "Rendered in a professional product photography style with "
+    "studio-grade natural lighting, soft and evenly distributed "
+    "illumination. Realistic materials and natural textures, without "
+    "exaggerated shapes or conceptual designs. Accurate proportions, "
+    "reasonable structure, and clearly visible details, shown from a 3/4 "
+    "perspective view to present the overall form. A clean white neutral "
+    "background with sharp focus. The overall style is realistic, simple, "
+    "and practical, making the object look like a real, commonly "
+    "available item in everyday use.")
+
+
+class DiTDepthEdit:
+    def __init__(self, cfg=None, variant: str = "qwen", seed: int = 0):
+        self.cfg = cfg or {}
+        self.variant = variant
+        size = (cfg.get("model_size", "tiny") if cfg else "tiny")
+        self.dit_cfg = DiTConfig.preset(variant if size == "full" else "tiny")
+        self.vae_cfg = VAEConfig.preset("tiny" if size != "full" else "full")
+        self.factor = self.vae_cfg.spatial_factor
+        self.model = MMDiT(self.dit_cfg)
+        self.vae = AutoencoderKL(self.vae_cfg)
+        self.prompt_encoder = PromptEncoder(
+            "tiny" if size != "full" else "full")
+        self.rng = jax.random.PRNGKey(seed)
+        # defaults per variant (reference settings)
+        self.steps = 8 if variant == "qwen" else 30
+        self.guidance = 4.0 if variant == "qwen" else 10.0
+        self._params = None
+        self._latent_hw = None
+
+    def _init_params(self, latent_hw: int):
+        rng = jax.random.PRNGKey(0)
+        lat = jnp.zeros((1, latent_hw, latent_hw, self.dit_cfg.in_channels))
+        cond = jnp.zeros((1, latent_hw, latent_hw,
+                          self.dit_cfg.cond_channels))
+        txt = jnp.zeros((1, 77, self.dit_cfg.text_dim))
+        side = latent_hw * self.factor
+        params = {
+            "dit": self.model.init(rng, lat, jnp.zeros((1,)), txt,
+                                   pooled=None, cond_latents=cond,
+                                   guidance=jnp.ones((1,))),
+            "vae": self.vae.init(jax.random.fold_in(rng, 1),
+                                 jnp.zeros((1, side, side, 3))),
+        }
+        weights_dir = self.cfg.get("weights_dir") if self.cfg else None
+        if weights_dir:
+            from genpc_tpu.models.weights import load_dit
+            params = load_dit(weights_dir, params, self.variant)
+        return params
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _sample(self, params, cond_img, txt, txt_neg, rng,
+                steps: int, guidance: float):
+        sched = FlowMatchEuler(steps)
+        cond_lat = self.vae.apply(params["vae"], cond_img,
+                                  method=AutoencoderKL.encode)
+        lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
+        latents = jax.random.normal(rng, lat_shape)
+        g = jnp.full((1,), guidance, jnp.float32)
+
+        def body(i, latents):
+            t = jnp.full((1,), sched.timesteps[i])
+            v_c = self.model.apply(params["dit"], latents, t, txt,
+                                   cond_latents=cond_lat, guidance=g)
+            if self.variant == "qwen":   # true CFG (reference cfg 4.0)
+                v_u = self.model.apply(params["dit"], latents, t, txt_neg,
+                                       cond_latents=cond_lat, guidance=g)
+                v = cfg_combine(v_u, v_c, guidance)
+            else:                        # flux: distilled guidance only
+                v = v_c
+            return sched.step(v, i, latents)
+
+        latents = jax.lax.fori_loop(0, steps, body, latents)
+        img = self.vae.apply(params["vae"], latents,
+                             method=AutoencoderKL.decode)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    def generate(self, depth, category_or_flag: str, size: int = 512,
+                 num_inference_steps: int | None = None) -> np.ndarray:
+        from genpc_tpu.categories import get_category
+        d = np.asarray(depth, np.float32)
+        if d.ndim == 3 and d.shape[0] in (1, 3):
+            d = d.transpose(1, 2, 0)
+        if d.shape[-1] == 1:
+            d = np.repeat(d, 3, axis=-1)
+        if d.shape[0] != size:
+            from PIL import Image
+            d = np.asarray(Image.fromarray(
+                (np.clip(d, 0, 1) * 255).astype(np.uint8)).resize(
+                (size, size), Image.BILINEAR), np.float32) / 255.0
+
+        latent_hw = size // self.factor
+        if self._params is None or self._latent_hw != latent_hw:
+            self._latent_hw = latent_hw
+            self._params = self._init_params(latent_hw)
+
+        category = get_category(category_or_flag)
+        txt, _ = self.prompt_encoder.encode(
+            QWEN_PROMPT.format(category=category))
+        txt_neg, _ = self.prompt_encoder.encode(" ")
+        if txt.shape[-1] != self.dit_cfg.text_dim:
+            reps = -(-self.dit_cfg.text_dim // txt.shape[-1])
+            txt = jnp.tile(txt, (1, 1, reps))[..., :self.dit_cfg.text_dim]
+            txt_neg = jnp.tile(txt_neg, (1, 1, reps))[
+                ..., :self.dit_cfg.text_dim]
+
+        steps = num_inference_steps or self.steps
+        self.rng, k = jax.random.split(self.rng)
+        img = self._sample(self._params, jnp.asarray(d * 2 - 1)[None],
+                           txt, txt_neg, k, steps, self.guidance)
+        return np.asarray(img[0])

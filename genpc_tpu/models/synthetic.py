@@ -86,7 +86,11 @@ class SyntheticImage23D:
     viewpoint), which is what a model-free completion can honestly use.
     """
 
-    def __init__(self, cfg=None, num_points: int = 163840, jitter: float = 0.004):
+    def __init__(self, cfg=None, num_points: int | None = None,
+                 jitter: float = 0.004):
+        if num_points is None:
+            num_points = (int(cfg.get("glb_sample_points", 163840))
+                          if cfg is not None else 163840)
         self.num_points = num_points
         self.jitter = jitter
 

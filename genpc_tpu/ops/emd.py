@@ -38,19 +38,32 @@ def _round_up(x: int, m: int) -> int:
 
 def _bid_phase(x1: jnp.ndarray, x2: jnp.ndarray, price: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """For every source row: (best_target, best_value, second_value)."""
+    """For every source row: (best_target, best_value, second_value).
+
+    Row-tiled so no N² matrix hits HBM; distances via the |x|²+|y|²−2x·y
+    expansion so the inner product rides the MXU; best/second-best via two
+    masked max passes (lax.top_k sorts and is far slower on TPU).
+    """
     n = x1.shape[0]
-    tx = min(_round_up(n, 8), 512)
+    m = x2.shape[0]
+    tx = min(_round_up(n, 8), 1024)
     n_pad = _round_up(n, tx)
     xp = jnp.pad(x1, ((0, n_pad - n), (0, 0)))
     xt = xp.reshape(n_pad // tx, tx, 3)
+    y2 = jnp.sum(x2 * x2, axis=-1)
+    cols = jnp.arange(m, dtype=jnp.int32)
 
     def one_tile(x_tile):
-        d = jnp.sqrt(jnp.maximum(
-            jnp.sum((x_tile[:, None, :] - x2[None, :, :]) ** 2, axis=-1), 0.0))
-        v = 3.0 - d - price[None, :]
-        top2, idx2 = jax.lax.top_k(v, 2)
-        return idx2[:, 0].astype(jnp.int32), top2[:, 0], top2[:, 1]
+        x2sum = jnp.sum(x_tile * x_tile, axis=-1)
+        cross = jnp.dot(x_tile, x2.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d2 = x2sum[:, None] + y2[None, :] - 2.0 * cross
+        v = 3.0 - jnp.sqrt(jnp.maximum(d2, 0.0)) - price[None, :]
+        best = jnp.max(v, axis=1)
+        bid = jnp.argmax(v, axis=1).astype(jnp.int32)
+        masked = jnp.where(cols[None, :] == bid[:, None], -jnp.inf, v)
+        better = jnp.max(masked, axis=1)
+        return bid, best, better
 
     bid, best, better = jax.lax.map(one_tile, xt)
     return (bid.reshape(-1)[:n], best.reshape(-1)[:n], better.reshape(-1)[:n])

@@ -31,9 +31,11 @@ from genpc_tpu.registration.fusion import fuse_clouds
 from genpc_tpu.registration.icp import coarse_scale_sweep, iterative_scale_search
 from genpc_tpu.registration.pose_optim import object_pose_optimization
 
-# fixed shapes for the jitted programs (compile once across objects)
+# fixed shapes for the jitted programs (compile once across objects);
+# overridable per-config (pose_partial_points / pose_complete_points /
+# icp_points / fine_scale_steps)
 POSE_PARTIAL_N = 2048
-POSE_COMPLETE_N = 4096
+POSE_COMPLETE_N = 2048
 ICP_N = 4096
 
 
@@ -79,14 +81,19 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
         tgt_rgb = (tgt_rgb.astype(np.float32) if tgt_rgb is not None
                    else np.full_like(tgt, 0.5))
 
+    pose_partial_n = int(cfg.get("pose_partial_points", POSE_PARTIAL_N))
+    pose_complete_n = int(cfg.get("pose_complete_points", POSE_COMPLETE_N))
+    icp_n = int(cfg.get("icp_points", ICP_N))
+    fine_steps = int(cfg.get("fine_scale_steps", 10))
+
     # 1. differentiable pose init (reference: reg_xyz.py:109-122)
     diff_transform = np.eye(4, dtype=np.float32)
     if diff_init:
         pv, pvc = voxel_down_sample(src, 0.02, src_rgb)
         t120, t120c = resample_fixed(tgt, min(120000, len(tgt)), tgt_rgb)
         cv, cvc = voxel_down_sample(t120, 0.02, t120c)
-        pv, pvc = resample_fixed(pv, POSE_PARTIAL_N, pvc)
-        cv, cvc = resample_fixed(cv, POSE_COMPLETE_N, cvc)
+        pv, pvc = resample_fixed(pv, pose_partial_n, pvc)
+        cv, cvc = resample_fixed(cv, pose_complete_n, cvc)
         T = object_pose_optimization(
             cv, cvc, pv, pvc, radius=0.02,
             lr=float(cfg.get("pose_lr", 0.01)),
@@ -110,8 +117,8 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
     # 3. coarse isotropic sweep on voxel-0.03 downsamples
     src_d, _ = voxel_down_sample(src_w, 0.03)
     tgt_d, _ = voxel_down_sample(tgt_n, 0.03)
-    src_d, _ = resample_fixed(src_d, ICP_N)
-    tgt_d, _ = resample_fixed(tgt_d, ICP_N)
+    src_d, _ = resample_fixed(src_d, icp_n)
+    tgt_d, _ = resample_fixed(tgt_d, icp_n)
     best_scale, coarse_T, coarse_loss = coarse_scale_sweep(
         src_d.astype(np.float32), tgt_d.astype(np.float32),
         cd_inv_weight=cd_inv_weight)
@@ -123,18 +130,18 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
     if reg_fine_xyz:
         src_w = _apply(coarse_T, src_w)
         if cfg.dataset in ("pcn", "kitti"):
-            fine_src, _ = resample_fixed(src_w, ICP_N)
+            fine_src, _ = resample_fixed(src_w, icp_n)
             td, _ = voxel_down_sample(tgt_n, 0.04)
-            fine_tgt, _ = resample_fixed(td, ICP_N)
+            fine_tgt, _ = resample_fixed(td, icp_n)
         else:  # redwood and everything else
             sd, _ = voxel_down_sample(src_w, 0.03)
-            fine_src, _ = resample_fixed(sd, ICP_N)
+            fine_src, _ = resample_fixed(sd, icp_n)
             td, _ = voxel_down_sample(tgt_n, 0.03)
-            fine_tgt, _ = resample_fixed(td, ICP_N)
+            fine_tgt, _ = resample_fixed(td, icp_n)
         S, fine_loss, fine_T = iterative_scale_search(
             fine_src.astype(np.float32), fine_tgt.astype(np.float32),
             scale_ranges=((0.8, 1.2), (0.8, 1.2), (0.8, 1.2)),
-            scale_steps=10, cd_inv_weight=cd_inv_weight)
+            scale_steps=fine_steps, cd_inv_weight=cd_inv_weight)
         if verbose:
             print(f"  [{art.flag}] fine scales {np.diag(S)[:3].round(3)} "
                   f"loss {fine_loss:.4f}")

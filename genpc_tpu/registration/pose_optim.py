@@ -66,9 +66,11 @@ def _transform_points(params, vert_pos, center):
 
 
 def pose_loss(params, vert_pos, vert_col, center, partial_xyz,
-              ref_img, ref_mask, camera, radius, gamma=1e-2):
+              ref_img, ref_mask, camera, radius, gamma=1e-2,
+              footprint=2):
     pts, R, scale = _transform_points(params, vert_pos, center)
-    result = render_points(pts, vert_col, radius, camera, gamma=gamma)
+    result = render_points(pts, vert_col, radius, camera, gamma=gamma,
+                           footprint=footprint)
     ref_n, result_n = _normalize_images(ref_img, result)
     mask_result = soft_mask(result_n)
     mask_ref = soft_mask(ref_n)
@@ -97,7 +99,8 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
                          radius, lr, iters: int, render_size: int):
     ref_img, ref_mask, camera = None, None, None
     camera = RenderCamera.default(render_size)
-    ref_img = render_points(partial_xyz, partial_col, radius, camera)
+    ref_img = render_points(partial_xyz, partial_col, radius, camera,
+                            footprint=2)
     ref_mask = hard_mask(ref_img)
     center = vert_pos.mean(axis=0)
 

@@ -84,33 +84,40 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     npix = res * res
     in_front = depth > camera.znear
 
-    # pass 1: per-pixel max of dn over covered pixels (for stable softmax)
-    dmax = jnp.full((npix + 1,), -1.0, jnp.float32)
-    offsets = [(dy, dx) for dy in range(-footprint, footprint + 1)
-               for dx in range(-footprint, footprint + 1)]
-    idx_list, w_list = [], []
-    for dy, dx in offsets:
-        cx = ix + dx
-        cy = iy + dy
-        d2 = (px - cx.astype(jnp.float32)) ** 2 + (py - cy.astype(jnp.float32)) ** 2
-        w_s = jnp.exp(-d2 / (2.0 * sigma2))
-        ok = (cx >= 0) & (cx < res) & (cy >= 0) & (cy < res) & in_front & (w_s > 1e-4)
-        idx = jnp.where(ok, cy * res + cx, npix)
-        idx_list.append(idx)
-        w_list.append(jnp.where(ok, w_s, 0.0))
-        dmax = dmax.at[idx].max(jnp.where(ok, dn, -1.0), mode="drop")
+    n = pts.shape[0]
+    K = 2 * footprint + 1
 
-    # pass 2: accumulate softmax-weighted colors
-    acc = jnp.zeros((npix + 1, 3), jnp.float32)
-    wacc = jnp.zeros((npix + 1,), jnp.float32)
-    for (idx, w_s) in zip(idx_list, w_list):
-        # dn <= dmax on covered pixels, so clamping to <= 0 is exact; it
-        # also keeps dropped offsets (dummy slot, dmax=-1) from exp-overflow
-        expo = jnp.minimum((dn - jax.lax.stop_gradient(dmax[idx])) / gamma, 0.0)
-        zw = jnp.exp(expo)
-        w = w_s * zw
-        acc = acc.at[idx].add(w[:, None] * cols, mode="drop")
-        wacc = wacc.at[idx].add(w, mode="drop")
+    # pass 1: per-pixel depth max from center-pixel writes only — ONE
+    # scatter-max; splat tails clamp against it below (approximate only at
+    # occlusion boundaries, exact elsewhere)
+    center_ok = in_front & (ix >= 0) & (ix < res) & (iy >= 0) & (iy < res)
+    cpix = jnp.where(center_ok, iy * res + ix, npix)
+    dmax = jnp.full((npix + 1,), -1.0, jnp.float32).at[cpix].max(
+        jnp.where(center_ok, dn, -1.0), mode="drop")
+
+    # pass 2: ONE fused scatter-add over all K² offsets (TPU scatter cost
+    # is dominated by the op count, not the update size)
+    dys = jnp.arange(-footprint, footprint + 1, dtype=jnp.int32)
+    offs_y = jnp.repeat(dys, K)[:, None]      # [K²,1]
+    offs_x = jnp.tile(dys, K)[:, None]
+    cy = iy[None, :] + offs_y                 # [K²,N]
+    cx = ix[None, :] + offs_x
+    d2 = ((px[None, :] - cx.astype(jnp.float32)) ** 2
+          + (py[None, :] - cy.astype(jnp.float32)) ** 2)
+    w_s = jnp.exp(-d2 / (2.0 * sigma2)[None, :])
+    ok = ((cx >= 0) & (cx < res) & (cy >= 0) & (cy < res)
+          & in_front[None, :] & (w_s > 1e-4))
+    idx2d = jnp.where(ok, cy * res + cx, npix)
+    # dn <= dmax on center-covered pixels, so clamping to <= 0 is exact
+    # there; it also keeps dropped offsets (dummy slot, dmax=-1) finite
+    expo = jnp.minimum(
+        (dn[None, :] - jax.lax.stop_gradient(dmax[idx2d])) / gamma, 0.0)
+    w = jnp.where(ok, w_s * jnp.exp(expo), 0.0).reshape(-1)
+    idx = idx2d.reshape(-1)
+    cols_t = jnp.broadcast_to(cols[None], (K * K, n, 3)).reshape(-1, 3)
+    acc = jnp.zeros((npix + 1, 3), jnp.float32).at[idx].add(
+        w[:, None] * cols_t, mode="drop")
+    wacc = jnp.zeros((npix + 1,), jnp.float32).at[idx].add(w, mode="drop")
 
     # background weight: a fixed unit weight at dn=0 (normalized vs dmax=1)
     bg_w = jnp.exp(jnp.float32(-1.0) / gamma) + 1e-8

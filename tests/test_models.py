@@ -1,0 +1,218 @@
+"""Architecture tests for the generative backends (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpc_tpu.models.unet import (ControlNet, UNet2DCondition, UNetConfig)
+from genpc_tpu.models.vae import AutoencoderKL, VAEConfig
+from genpc_tpu.models.schedulers import DDIM, EulerAncestral, FlowMatchEuler
+from genpc_tpu.models.text_encoder import CLIPTextConfig, CLIPTextModel, HashTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.preset("tiny")
+    model = UNet2DCondition(cfg)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 77, cfg.context_dim))
+    params = model.init(rng, lat, jnp.zeros((1,)), ctx)
+    return cfg, model, params
+
+
+def test_unet_shapes(tiny_unet):
+    cfg, model, params = tiny_unet
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, cfg.context_dim))
+    out = model.apply(params, lat, jnp.ones((1,)) * 500, ctx)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_timestep_sensitivity(tiny_unet):
+    cfg, model, params = tiny_unet
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jnp.zeros((1, 77, cfg.context_dim))
+    o1 = model.apply(params, lat, jnp.zeros((1,)), ctx)
+    o2 = model.apply(params, lat, jnp.full((1,), 999.0), ctx)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-5
+
+
+def test_controlnet_zero_init(tiny_unet):
+    cfg, _, _ = tiny_unet
+    cn = ControlNet(cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jnp.zeros((1, 77, cfg.context_dim))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    params = cn.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, cond)
+    mid, down = cn.apply(params, lat, jnp.zeros((1,)), ctx, cond)
+    # zero-conv gates: fresh ControlNet contributes exactly nothing
+    assert float(jnp.abs(mid).max()) == 0.0
+    assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+    assert len(down) >= len(cfg.block_out_channels)
+
+
+def test_vae_roundtrip_shape():
+    cfg = VAEConfig.preset("tiny")
+    vae = AutoencoderKL(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(1), img)
+    z = vae.apply(params, img, method=AutoencoderKL.encode)
+    assert z.shape == (1, 16, 16, 4)   # tiny preset: 2 levels -> 2x factor
+    out = vae.apply(params, z, method=AutoencoderKL.decode)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_euler_ancestral_denoises_toward_x0():
+    # with a perfect eps-oracle the sampler must recover x0
+    sched = EulerAncestral(25)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 8, 8, 4)) * 0.3
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    sample = noise * sched.init_noise_sigma
+
+    for i in range(25):
+        x_in = sched.scale_model_input(sample, i)
+        # oracle eps: from x_t = x0 + sigma*eps  ->  eps = (x_t - x0)/sigma
+        eps = (sample - x0) / sched.sigmas[i]
+        z = jnp.zeros_like(sample)  # eta noise off for determinism
+        sample = sched.step(eps, i, sample, z)
+    err = float(jnp.abs(sample - x0).max())
+    assert err < 1e-2
+
+
+def test_ddim_oracle_recovery():
+    sched = DDIM(20)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 8, 8, 4)) * 0.3
+    eps_true = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t0 = sched.timesteps[0]
+    a = sched.alphas_cum[t0]
+    sample = jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * eps_true
+    for i in range(20):
+        t = sched.timesteps[i]
+        a_t = sched.alphas_cum[t]
+        eps = (sample - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+        sample = sched.step(eps, i, sample)
+    assert float(jnp.abs(sample - x0).max()) < 1e-2
+
+
+def test_flow_match_oracle_recovery():
+    sched = FlowMatchEuler(30)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 8, 8, 4)) * 0.3
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    sample = noise  # t=1
+    v = noise - x0  # constant true velocity of the straight path
+    for i in range(30):
+        sample = sched.step(v, i, sample)
+    assert float(jnp.abs(sample - x0).max()) < 1e-4
+
+
+def test_clip_text_model():
+    cfg = CLIPTextConfig.preset("tiny")
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer(cfg.vocab_size, cfg.max_len)
+    ids = jnp.asarray(tok("a photo of a chair"))[None]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    hidden, pooled = model.apply(params, ids)
+    assert hidden.shape == (1, 77, cfg.hidden_dim)
+    assert pooled.shape == (1, cfg.hidden_dim)
+    # different prompts give different embeddings
+    ids2 = jnp.asarray(tok("a photo of a table"))[None]
+    h2, _ = model.apply(params, ids2)
+    assert float(jnp.abs(hidden - h2).max()) > 1e-4
+
+
+def test_controlnet_pipeline_tiny_generate():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.controlnet_depth import ControlNetDepth
+    cfg = load_config(model_size="tiny")
+    pipe = ControlNetDepth(cfg)
+    depth = np.random.default_rng(0).random((3, 32, 32)).astype(np.float32)
+    img = pipe.generate(depth, "chair", size=64, num_inference_steps=3)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_mmdit_tiny_shapes():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    cfg = DiTConfig.preset("tiny")
+    model = MMDiT(cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 16, cfg.text_dim))
+    params = model.init(jax.random.PRNGKey(3), lat, jnp.ones((1,)) * 0.5,
+                        txt, cond_latents=cond, guidance=jnp.ones((1,)))
+    out = model.apply(params, lat, jnp.ones((1,)) * 0.5, txt,
+                      cond_latents=cond, guidance=jnp.ones((1,)))
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # timestep modulation must matter
+    o2 = model.apply(params, lat, jnp.ones((1,)) * 0.9, txt,
+                     cond_latents=cond, guidance=jnp.ones((1,)))
+    assert float(jnp.abs(out - o2).max()) > 1e-6
+
+
+def test_dit_depth_pipeline_tiny():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.dit_depth import DiTDepthEdit
+    pipe = DiTDepthEdit(load_config(model_size="tiny"), variant="qwen")
+    depth = np.random.default_rng(0).random((3, 32, 32)).astype(np.float32)
+    img = pipe.generate(depth, "chair", size=32, num_inference_steps=2)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+
+
+def test_rmbg_matting_tiny():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.rmbg import RMBGMatting
+    net = RMBGMatting(load_config(model_size="tiny"))
+    img = np.random.default_rng(0).random((48, 40, 3)).astype(np.float32)
+    out = net(img)
+    assert out.shape == (48, 40, 4)
+    assert out[..., 3].min() >= 0 and out[..., 3].max() <= 1
+
+
+def test_marching_tetrahedra_sphere():
+    from genpc_tpu.ops.marching import marching_tetrahedra
+    R = 32
+    g = np.linspace(-1, 1, R)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    d = 0.5 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    v, f = marching_tetrahedra(d)
+    r = np.linalg.norm(v, axis=1)
+    assert np.abs(r - 0.5).max() < 0.01
+    tri = v[f]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1).sum()
+    assert abs(area - 4 * np.pi * 0.25) / (4 * np.pi * 0.25) < 0.01
+    # closed manifold: every edge used exactly twice
+    edges = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]],
+                                    f[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_lrm_tiny_end_to_end():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.lrm import InstantMeshBackend, LRMConfig, TriplaneLRM
+    backend = InstantMeshBackend(load_config(model_size="tiny"))
+    img = np.random.default_rng(0).random((64, 64, 4)).astype(np.float32)
+    mesh = backend("01184", img)
+    assert mesh.vertices.shape[1] == 3
+    assert mesh.faces.shape[1] == 3
+    assert mesh.vertex_colors.shape == mesh.vertices.shape
+    assert np.isfinite(mesh.vertices).all()
+
+
+def test_triplane_sampling_interpolates():
+    from genpc_tpu.models.lrm import sample_triplane
+    planes = jnp.zeros((3, 4, 4, 2)).at[0, :, :, 0].set(1.0)
+    pts = jnp.array([[0.0, 0.0, 0.0], [0.5, -0.5, 0.25]])
+    f = sample_triplane(planes, pts)
+    assert f.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(f[:, 0]), 1.0, atol=1e-6)

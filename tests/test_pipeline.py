@@ -1,0 +1,113 @@
+"""End-to-end pipeline tests on tiny configs (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genpc_tpu.config import load_config
+from genpc_tpu.io.ply import save_ply, load_ply
+from genpc_tpu.pipeline.artifacts import ObjectArtifacts, Workspace
+from genpc_tpu.pipeline.depth_prompting import DepthPrompting
+from genpc_tpu.pipeline.registration import reg, resample_fixed
+from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
+
+
+def _tiny_cfg(tmp_path):
+    return load_config(
+        output_path=str(tmp_path / "ws"),
+        save=True,
+        view_num=32, cam_res=64, res=64, generate_res=128,
+        downsample_num=512, input_points=2048,
+        pose_iters=8, pose_render_size=48,
+        pose_partial_points=512, pose_complete_points=512,
+        icp_points=512, fine_scale_steps=3,
+        glb_sample_points=4096, fused_points=1500,
+        control_model="synthetic", rembg_model="synthetic",
+        generative_model="synthetic", inpainter="jax",
+    )
+
+
+def _half_sphere(n=3000, seed=0):
+    """A synthetic 'partial scan': +z hemisphere of a unit sphere."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n * 3, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v = v[v[:, 2] > 0.05][:n] * 0.4
+    return v.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def pipeline_art(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("pipe")
+    cfg = _tiny_cfg(tmp_path)
+    xyz = _half_sphere()
+    rgb = np.full_like(xyz, 0.6)
+    art = ObjectArtifacts("01184", xyz=xyz, rgb=rgb)
+    dp = DepthPrompting(cfg)
+    dp.get_image(art)
+    sa = ScaleAdapter(cfg)
+    sa.scale_adapter(art)
+    reg(cfg, art, diff_init=True, reg_fine_xyz=True, verbose=False)
+    return cfg, art
+
+
+def test_stage1_outputs(pipeline_art):
+    cfg, art = pipeline_art
+    assert art.depth.shape == (3, 64, 64)
+    assert art.point_uv.shape == (len(art.xyz), 2)
+    # uv rescale contract
+    assert art.point_uv.min() >= 0.049 and art.point_uv.max() <= 0.951
+    # depth image covers some area, inpainted (no stray holes = mask ring
+    # pixels should be filled, nonzero)
+    assert (art.depth.max() > 0.5) and np.isfinite(art.depth).all()
+    assert art.image.shape == (128, 128, 3)
+    assert art.viewpoint.shape == (3,)
+
+
+def test_stage2_outputs(pipeline_art):
+    cfg, art = pipeline_art
+    assert art.image_nobg.shape[-1] == 4
+    assert art.color_xyz.shape == art.xyz.shape
+    assert art.color_rgb.shape == art.xyz.shape
+    assert art.complete_xyz is not None and len(art.complete_xyz) == 4096
+    # synthetic mirror completion must cover more volume than the partial
+    span_c = art.complete_xyz.max(0) - art.complete_xyz.min(0)
+    span_p = art.xyz.max(0) - art.xyz.min(0)
+    assert span_c[2] > span_p[2] * 1.3  # mirrored across the z plane
+
+
+def test_stage3_fused(pipeline_art):
+    cfg, art = pipeline_art
+    assert art.fused_xyz is not None
+    assert len(art.fused_xyz) <= 1500
+    assert np.isfinite(art.fused_xyz).all()
+    # fused cloud covers more of the sphere than the partial: z-extent grows
+    assert (art.fused_xyz[:, 2].max() - art.fused_xyz[:, 2].min()) > \
+           (art.xyz[:, 2].max() - art.xyz[:, 2].min()) * 1.2
+
+
+def test_workspace_persistence_roundtrip(pipeline_art):
+    cfg, art = pipeline_art
+    ws = Workspace(cfg.output_path, cfg.generative_model)
+    a2 = ws.load_stage1(art.flag)
+    a2 = ws.load_stage2(art.flag, a2)
+    np.testing.assert_allclose(a2.point_uv, art.point_uv, atol=1e-6)
+    assert a2.color_xyz.shape == art.color_xyz.shape
+    fused, _ = load_ply(ws.fused_path(art.flag))
+    assert len(fused) == len(art.fused_xyz)
+
+
+def test_resample_fixed():
+    pts = np.random.default_rng(0).random((100, 3))
+    up, _ = resample_fixed(pts, 250)
+    down, _ = resample_fixed(pts, 50)
+    assert up.shape == (250, 3) and down.shape == (50, 3)
+    # downsample has no duplicates
+    assert len(np.unique(down, axis=0)) == 50
+
+
+def test_reg_requires_stage2(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        reg(cfg, ObjectArtifacts("x", xyz=np.zeros((10, 3))))

@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+from genpc_tpu.metrics.image_metrics import fid, mse, psnr, ssim
+from genpc_tpu.utils_logging import get_logger
+
+
+def test_psnr_ssim_identity():
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    assert float(psnr(img, img)) > 100
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+
+
+def test_psnr_ordering():
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    small = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+    big = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    assert float(psnr(img, small)) > float(psnr(img, big))
+    assert float(ssim(img, small)) > float(ssim(img, big))
+
+
+def test_fid_sanity():
+    rng = np.random.default_rng(0)
+    a = rng.random((8, 16, 16, 3))
+    b = a + rng.normal(0, 0.01, a.shape)
+    c = rng.random((8, 16, 16, 3)) * 0.2
+    assert fid(a, b) < fid(a, c)
+
+
+def test_logger(tmp_path):
+    log = get_logger("test_genpc", str(tmp_path / "x.log"))
+    log.info("hello")
+    assert (tmp_path / "x.log").read_text().strip().endswith("hello")
+
+
+def test_native_ops_or_fallback():
+    # native build is optional; if it loads, it must match numpy exactly
+    try:
+        from genpc_tpu.native import fps_sample_native, voxel_down_sample_native
+    except ImportError:
+        pytest.skip("native host ops not built")
+    from genpc_tpu.ops.fps import fps_numpy
+    rng = np.random.default_rng(0)
+    pts = rng.random((3000, 3)).astype(np.float32)
+    np.testing.assert_array_equal(fps_sample_native(pts, 128),
+                                  fps_numpy(pts, 128))
+    p = rng.random((5000, 3))
+    op, _ = voxel_down_sample_native(p, 0.1)
+    mn = p.min(0)
+    key = np.floor((p - mn) / 0.1).astype(np.int64)
+    nvox = len(np.unique((key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]))
+    assert len(op) == nvox
+
+
+def test_lidar_scan_listing():
+    from genpc_tpu.main_lidar import list_scans
+    flags = list_scans("/root/reference/data/waymo", "CAR", limit=3)
+    assert len(flags) == 3
+    assert all(f.startswith("CAR_") for f in flags)

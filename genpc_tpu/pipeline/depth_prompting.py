@@ -114,7 +114,8 @@ class DepthPrompting:
         inpainter = cfg.get("inpainter", "jax")
         hole = m2 if inpainter == "DDNM" else m1
         backend = "cv2" if inpainter == "cv2" else "jax"
-        depth_img = inpaint_image(raw_depth, hole, backend=backend)
+        depth_img = inpaint_image(raw_depth, hole, backend=backend,
+                                  iters=int(cfg.get("inpaint_iters", 250)))
 
         art.point_uv = np.asarray(uv)
         art.viewpoint = np.asarray(view)

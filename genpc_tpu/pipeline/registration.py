@@ -36,7 +36,7 @@ from genpc_tpu.registration.pose_optim import object_pose_optimization
 # icp_points / fine_scale_steps)
 POSE_PARTIAL_N = 2048
 POSE_COMPLETE_N = 2048
-ICP_N = 4096
+ICP_N = 2048
 
 
 def resample_fixed(pts: np.ndarray, n: int,

@@ -21,7 +21,7 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnames=("iters",))
 def diffusion_inpaint(img: jnp.ndarray, hole_mask: jnp.ndarray,
-                      iters: int = 400) -> jnp.ndarray:
+                      iters: int = 250) -> jnp.ndarray:
     """Fill hole pixels by iterative 4-neighbor diffusion.
 
     img [C,H,W] float; hole_mask [H,W] (or [C,H,W], any nonzero = hole).
@@ -49,7 +49,7 @@ def diffusion_inpaint(img: jnp.ndarray, hole_mask: jnp.ndarray,
     return jax.lax.fori_loop(0, iters, body, x)
 
 
-def inpaint_image(img, hole_mask, backend: str = "jax", iters: int = 400):
+def inpaint_image(img, hole_mask, backend: str = "jax", iters: int = 250):
     """Dispatch: 'jax' (device diffusion) or 'cv2' (host INPAINT_NS parity).
 
     img [C,H,W] float in [0,1]; returns the same layout.

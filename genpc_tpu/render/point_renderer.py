@@ -87,13 +87,26 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     n = pts.shape[0]
     K = 2 * footprint + 1
 
-    # pass 1: per-pixel depth max from center-pixel writes only — ONE
-    # scatter-max; splat tails clamp against it below (approximate only at
-    # occlusion boundaries, exact elsewhere)
+    # pass 1: per-pixel depth max = ONE center-pixel scatter-max followed
+    # by a (2f+1)² max-pool dilation — exactly the full-footprint
+    # scatter-max (every point's footprint reaches at most f pixels from
+    # its center), but the dilation is a dense reduce_window instead of
+    # K² scatters
     center_ok = in_front & (ix >= 0) & (ix < res) & (iy >= 0) & (iy < res)
     cpix = jnp.where(center_ok, iy * res + ix, npix)
-    dmax = jnp.full((npix + 1,), -1.0, jnp.float32).at[cpix].max(
-        jnp.where(center_ok, dn, -1.0), mode="drop")
+    kwin = 2 * footprint + 1
+
+    def _depth_max(dn_sg):
+        d0 = jnp.full((npix + 1,), -1.0, jnp.float32).at[cpix].max(
+            jnp.where(center_ok, dn_sg, -1.0), mode="drop")
+        img = jax.lax.reduce_window(d0[:npix].reshape(res, res), -1.0,
+                                    jax.lax.max, (kwin, kwin), (1, 1),
+                                    "SAME")
+        return jnp.concatenate([img.reshape(-1), d0[npix:]])
+
+    # dmax only normalizes the softmax; it carries no gradient
+    dmax = _depth_max(jax.lax.stop_gradient(dn))
+    dmax = jax.lax.stop_gradient(dmax)
 
     # pass 2: ONE fused scatter-add over all K² offsets (TPU scatter cost
     # is dominated by the op count, not the update size)

@@ -32,7 +32,11 @@ from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
 
 def run_pipeline(cfg: Config, flags: List[str], data_dir: str,
                  gt_dir: Optional[str] = None, with_metric: bool = True,
-                 with_emd: bool = True) -> Dict[str, Dict[str, float]]:
+                 with_emd: bool = True,
+                 timer: Optional["StageTimer"] = None
+                 ) -> Dict[str, Dict[str, float]]:
+    from genpc_tpu.tracing import StageTimer
+    timer = timer or StageTimer()
     gt_dir = gt_dir or os.path.join(data_dir, "GT")
     dp = DepthPrompting(cfg)
     sa = ScaleAdapter(cfg)
@@ -44,26 +48,32 @@ def run_pipeline(cfg: Config, flags: List[str], data_dir: str,
     arts = {}
     for flag in flags:
         print(f"Processing {flag}...")
-        xyz, rgb = load_xyz(os.path.join(data_dir, f"{flag}.ply"))
-        rng = np.random.default_rng(0)
-        idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
-        art = ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx])
-        dp.get_image(art)
+        with timer.span("load"):
+            xyz, rgb = load_xyz(os.path.join(data_dir, f"{flag}.ply"))
+            rng = np.random.default_rng(0)
+            idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
+            art = ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx])
+        with timer.span("stage1"):
+            dp.get_image(art)
         arts[flag] = art
 
     results: Dict[str, Dict[str, float]] = {}
     for flag, art in arts.items():
-        sa.scale_adapter(art)
-        reg(cfg, art, cd_inv_weight=0.5, diff_init=True, reg_fine_xyz=True)
+        with timer.span("stage2"):
+            sa.scale_adapter(art)
+        with timer.span("stage3"):
+            reg(cfg, art, cd_inv_weight=0.5, diff_init=True,
+                reg_fine_xyz=True)
         if with_metric:
             gt_path = os.path.join(gt_dir, f"{flag}.ply")
             if os.path.exists(gt_path):
-                gt, _ = load_xyz(gt_path)
-                m = evaluate_pair(art.fused_xyz, gt,
-                                  num_points=int(cfg.metric_points),
-                                  emd_eps=float(cfg.emd_eps),
-                                  emd_iters=int(cfg.emd_iters),
-                                  with_emd=with_emd)
+                with timer.span("metric"):
+                    gt, _ = load_xyz(gt_path)
+                    m = evaluate_pair(art.fused_xyz, gt,
+                                      num_points=int(cfg.metric_points),
+                                      emd_eps=float(cfg.emd_eps),
+                                      emd_iters=int(cfg.emd_iters),
+                                      with_emd=with_emd)
                 emd_txt = f", EMD: {m['emd']*100:.3f}" if "emd" in m else ""
                 print(f"Flag: {flag}, CD: {m['cd']*100:.3f}{emd_txt}")
                 results[flag] = m
@@ -86,6 +96,10 @@ def main(argv=None):
                     help="override all generative backends (e.g. synthetic)")
     ap.add_argument("--no-metric", action="store_true")
     ap.add_argument("--no-emd", action="store_true")
+    ap.add_argument("--timings", action="store_true",
+                    help="print the per-stage timing table")
+    ap.add_argument("--profile", default=None,
+                    help="jax profiler trace dir (TensorBoard/xprof)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -98,10 +112,17 @@ def main(argv=None):
     flags = args.flags or [f for f in REDWOOD_FLAGS if os.path.exists(
         os.path.join(args.data_dir, f"{f}.ply"))]
 
+    from genpc_tpu.tracing import StageTimer, trace
+    timer = StageTimer()
     start = time.time()
-    run_pipeline(cfg, flags, args.data_dir, args.gt_dir,
-                 with_metric=not args.no_metric, with_emd=not args.no_emd)
+    with trace(args.profile):
+        run_pipeline(cfg, flags, args.data_dir, args.gt_dir,
+                     with_metric=not args.no_metric,
+                     with_emd=not args.no_emd, timer=timer)
     wall = time.time() - start
+    if args.timings:
+        print()
+        timer.report()
     print(f"\n{len(flags)} objects in {wall:.1f}s "
           f"({len(flags) / wall * 60:.2f} objects/min)")
 

@@ -58,3 +58,16 @@ def test_lidar_scan_listing():
     flags = list_scans("/root/reference/data/waymo", "CAR", limit=3)
     assert len(flags) == 3
     assert all(f.startswith("CAR_") for f in flags)
+
+
+def test_stage_timer():
+    import time as _t
+    from genpc_tpu.tracing import StageTimer
+    timer = StageTimer()
+    with timer.span("a"):
+        with timer.span("b"):
+            _t.sleep(0.01)
+    d = timer.as_dict()
+    assert "a" in d and "a/b" in d
+    assert d["a"][0] >= d["a/b"][0] >= 0.01
+    assert d["a"][1] == 1

@@ -21,4 +21,5 @@ Design stance (vs. the CUDA/torch reference at liannuaa/GenPC):
 
 __version__ = "0.1.0"
 
+from genpc_tpu import runtime as _runtime  # noqa: F401  (compilation cache)
 from genpc_tpu.config import Config, load_config  # noqa: F401

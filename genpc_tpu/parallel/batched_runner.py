@@ -1,0 +1,285 @@
+"""Object-batched pipeline execution (the SURVEY §7 "throughput pass").
+
+The per-object pipeline is dominated by long sequential chains whose
+per-step work is tiny (pose optimization: 200 Adam steps; scale searches:
+ICP iterations; FPS: k argmax steps).  Batching B objects multiplies the
+per-step work while keeping the chain length — near-linear throughput gain
+on one chip, and the object axis is exactly what shards over `dp` on a
+multi-chip mesh.
+
+This module vmaps the existing jitted stage-3 programs over the object
+axis and provides ``run_batched`` — load + stage1/2 (host-orchestrated) +
+fully batched registration, fusion and metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpc_tpu.geometry.normalize import normalize_points
+from genpc_tpu.io.ply import load_xyz
+from genpc_tpu.metrics.losses import chamfer_partial_l1
+from genpc_tpu.ops.chamfer import chamfer_nn, nearest_neighbor
+from genpc_tpu.ops.emd import emd_auction
+from genpc_tpu.ops.fps import fps_indices
+from genpc_tpu.ops.outliers import statistical_outlier_mask
+from genpc_tpu.ops.voxel import voxel_down_sample
+from genpc_tpu.pipeline.artifacts import ObjectArtifacts, Workspace
+from genpc_tpu.pipeline.depth_prompting import DepthPrompting
+from genpc_tpu.pipeline.registration import resample_fixed
+from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
+from genpc_tpu.registration.icp import _coarse_one, _fine_one
+from genpc_tpu.registration.pose_optim import (
+    _optimize_all_starts, build_transform, rotation_6d_to_matrix)
+
+POSE_N = 2048
+ICP_N = 2048
+
+
+# ------------------------------------------------------------ batched ops
+
+@functools.partial(jax.jit, static_argnames=("iters", "render_size"))
+def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
+                       iters: int, render_size: int):
+    """[B,...] pose optimization; returns best 4x4 per object [B,4,4]."""
+    params, best = jax.vmap(
+        lambda c, cc, p, pc: _optimize_all_starts(
+            c, cc, p, pc, radius, lr, iters, render_size)
+    )(comp, comp_col, part, part_col)
+
+    def pick(params, best):
+        k = jnp.argmin(best)
+        R = rotation_6d_to_matrix(params["rot6d"][k])
+        s = jnp.exp(params["log_scale"][k])[0]
+        return build_transform(R, params["trans"][k], s)
+
+    return jax.vmap(pick)(params, best)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def batched_coarse_sweep(src, tgt, scales, cd_inv_weight):
+    """src/tgt [B,N,3]; scales [S] -> (best T [B,4,4], best loss [B])."""
+    def per_object(s, t):
+        cds, Ts = jax.vmap(lambda sc: _coarse_one(sc, s, t, cd_inv_weight))(
+            scales)
+        k = jnp.argmin(cds)
+        return Ts[k], cds[k]
+
+    return jax.vmap(per_object)(src, tgt)
+
+
+def batched_fine_search(src, tgt, cd_inv_weight: float = 0.5,
+                        scale_steps: int = 10, chunk: int = 100
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-axis scale grid over a batch: returns (S [B,4,4], T [B,4,4])."""
+    axes = [np.linspace(0.8, 1.2, scale_steps)] * 3
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    B = src.shape[0]
+    f = jax.jit(jax.vmap(jax.vmap(
+        lambda sc, s, t: _fine_one(sc, s, t, jnp.float32(cd_inv_weight)),
+        in_axes=(0, None, None)), in_axes=(None, 0, 0)))
+    best_cd = np.full(B, np.inf)
+    best_T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    best_scales = np.ones((B, 3))
+    for i in range(0, len(grid), chunk):
+        g = jnp.asarray(grid[i:i + chunk], jnp.float32)
+        cds, Ts = f(g, src, tgt)          # [B,chunk], [B,chunk,4,4]
+        cds = np.asarray(cds)
+        j = cds.argmin(axis=1)
+        better = cds[np.arange(B), j] < best_cd
+        best_cd = np.where(better, cds[np.arange(B), j], best_cd)
+        best_T[better] = np.asarray(Ts)[np.arange(B), j][better]
+        best_scales[better] = grid[i:i + chunk][j][better]
+    S = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    S[:, 0, 0], S[:, 1, 1], S[:, 2, 2] = best_scales.T
+    return S, best_T
+
+
+@jax.jit
+def batched_dedup_mask(src, tgt, threshold: float = 1e-4):
+    """[B,Ns,3]/[B,Nt,3] -> keep-mask [B,Nt] (squared-dist >= threshold)."""
+    d2, _, _, _ = chamfer_nn(tgt, src)
+    return d2 >= threshold
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batched_fps(pts, k: int):
+    return jax.vmap(lambda p: fps_indices(p, k))(pts)
+
+
+@functools.partial(jax.jit, static_argnames=("num_points", "emd_iters",
+                                             "with_emd"))
+def batched_metric(pred, gt, num_points: int = 16384,
+                   emd_eps: float = 0.005, emd_iters: int = 50,
+                   with_emd: bool = True):
+    """pred/gt [B,N,3] -> (cd [B], emd [B])."""
+    pi = batched_fps(pred, num_points)
+    gi = batched_fps(gt, num_points)
+    p = jnp.take_along_axis(pred, pi[..., None], axis=1)
+    g = jnp.take_along_axis(gt, gi[..., None], axis=1)
+    d1, d2, _, _ = chamfer_nn(p, g)
+    cd = (jnp.sqrt(jnp.maximum(d1, 0)).mean(1)
+          + jnp.sqrt(jnp.maximum(d2, 0)).mean(1)) / 2
+    if with_emd:
+        de, _ = emd_auction(p, g, eps=emd_eps, iters=emd_iters)
+        emd = jnp.sqrt(jnp.maximum(de, 0)).mean(1)
+    else:
+        emd = jnp.full_like(cd, jnp.nan)
+    return cd, emd
+
+
+# ----------------------------------------------------------------- runner
+
+def _apply(T, pts):
+    return (pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+
+
+def batched_reg(cfg, arts: List[ObjectArtifacts],
+                cd_inv_weight: float = 0.5) -> None:
+    """Stage 3 for a batch of objects; writes fused clouds into arts."""
+    B = len(arts)
+    pose_n = int(cfg.get("pose_complete_points", POSE_N))
+    icp_n = int(cfg.get("icp_points", ICP_N))
+    # host prep: voxel downsample + fixed resample per object
+    pose_c, pose_cc, pose_p, pose_pc = [], [], [], []
+    tgts, tgt_rgbs, srcs, src_rgbs = [], [], [], []
+    for art in arts:
+        src = np.asarray(art.color_xyz, np.float32)
+        src_rgb = (np.asarray(art.color_rgb, np.float32)
+                   if art.color_rgb is not None else np.full_like(src, 0.5))
+        tgt, tgt_rgb = resample_fixed(
+            art.complete_xyz, int(cfg.get("glb_sample_points", 163840)),
+            art.complete_rgb)
+        tgt = tgt.astype(np.float32)
+        tgt_rgb = (np.asarray(tgt_rgb, np.float32) if tgt_rgb is not None
+                   else np.full_like(tgt, 0.5))
+        srcs.append(src)
+        src_rgbs.append(src_rgb)
+        tgts.append(tgt)
+        tgt_rgbs.append(tgt_rgb)
+        pv, pvc = voxel_down_sample(src, 0.02, src_rgb)
+        t120, t120c = resample_fixed(tgt, min(120000, len(tgt)), tgt_rgb)
+        cv, cvc = voxel_down_sample(t120, 0.02, t120c)
+        pv, pvc = resample_fixed(pv, pose_n, pvc)
+        cv, cvc = resample_fixed(cv, pose_n, cvc)
+        pose_p.append(pv), pose_pc.append(pvc)
+        pose_c.append(cv), pose_cc.append(cvc)
+
+    T = batched_pose_optim(
+        jnp.asarray(np.stack(pose_c)), jnp.asarray(np.stack(pose_cc)),
+        jnp.asarray(np.stack(pose_p)), jnp.asarray(np.stack(pose_pc)),
+        jnp.float32(0.02), jnp.float32(cfg.get("pose_lr", 0.01)),
+        int(cfg.get("pose_iters", 200)),
+        int(cfg.get("pose_render_size", 224)))
+    diff_T = np.linalg.inv(np.asarray(T)).astype(np.float32)
+
+    # normalize targets, transform sources into pose frame (host, per obj)
+    src_w = [_apply(diff_T[i], srcs[i]) for i in range(B)]
+    tgt_n = [np.asarray(normalize_points(t, range=0.5)[0], np.float32)
+             for t in tgts]
+
+    # coarse sweep on fixed-size voxel downsamples
+    cs, ct = [], []
+    for i in range(B):
+        sd, _ = voxel_down_sample(src_w[i], 0.03)
+        td, _ = voxel_down_sample(tgt_n[i], 0.03)
+        cs.append(resample_fixed(sd, icp_n)[0].astype(np.float32))
+        ct.append(resample_fixed(td, icp_n)[0].astype(np.float32))
+    coarse_T, _ = batched_coarse_sweep(
+        jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(ct)),
+        jnp.asarray(np.linspace(1.5, 0.8, 11), jnp.float32),
+        jnp.float32(cd_inv_weight))
+    coarse_T = np.asarray(coarse_T)
+
+    # fine per-axis grid
+    src_w = [_apply(coarse_T[i], src_w[i]) for i in range(B)]
+    fs, ft = [], []
+    for i in range(B):
+        sd, _ = voxel_down_sample(src_w[i], 0.03)
+        td, _ = voxel_down_sample(tgt_n[i], 0.03)
+        fs.append(resample_fixed(sd, icp_n)[0].astype(np.float32))
+        ft.append(resample_fixed(td, icp_n)[0].astype(np.float32))
+    S, fine_T = batched_fine_search(
+        jnp.asarray(np.stack(fs)), jnp.asarray(np.stack(ft)),
+        cd_inv_weight=cd_inv_weight,
+        scale_steps=int(cfg.get("fine_scale_steps", 10)))
+
+    # undo chain (reference order) and fuse, per object on host + batched NN
+    fused_n = int(cfg.get("fused_points", 20000))
+    for i, art in enumerate(arts):
+        t = tgt_n[i]
+        t = _apply(np.linalg.inv(S[i]), t)
+        t = _apply(np.linalg.inv(fine_T[i]), t)
+        s = _apply(np.linalg.inv(coarse_T[i]), src_w[i])
+        t = _apply(np.linalg.inv(coarse_T[i]), t)
+        t = _apply(np.linalg.inv(diff_T[i]), t)
+        s = _apply(np.linalg.inv(diff_T[i]), s)
+        # dedup + concat + fps + denoise (per object; sizes differ)
+        d2, _ = nearest_neighbor(jnp.asarray(t), jnp.asarray(s))
+        keep = np.asarray(d2) >= 1e-4
+        pts = np.concatenate([s, t[keep]])
+        cols = np.concatenate([src_rgbs[i], tgt_rgbs[i][keep]])
+        if len(pts) > fused_n:
+            idx = np.asarray(fps_indices(jnp.asarray(pts), fused_n))
+            pts, cols = pts[idx], cols[idx]
+        mask = np.asarray(statistical_outlier_mask(jnp.asarray(pts),
+                                                   20, 2.5))
+        art.fused_xyz = pts[mask]
+        art.fused_rgb = cols[mask]
+
+
+def run_batched(cfg, flags: List[str], data_dir: str,
+                gt_dir: Optional[str] = None, with_emd: bool = True,
+                batch: Optional[int] = None, verbose: bool = True
+                ) -> Dict[str, Dict[str, float]]:
+    """Full pipeline with batched stage 3 + batched metrics."""
+    gt_dir = gt_dir or os.path.join(data_dir, "GT")
+    dp = DepthPrompting(cfg)
+    sa = ScaleAdapter(cfg)
+    n_in = int(cfg.get("input_points", 65536))
+
+    arts = []
+    for flag in flags:
+        xyz, rgb = load_xyz(os.path.join(data_dir, f"{flag}.ply"))
+        rng = np.random.default_rng(0)
+        idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
+        art = ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx])
+        dp.get_image(art, verbose=verbose)
+        sa.scale_adapter(art)
+        arts.append(art)
+
+    batch = batch or len(arts)
+    for i in range(0, len(arts), batch):
+        batched_reg(cfg, arts[i:i + batch])
+
+    # batched metric (resample GT/pred to fixed sizes)
+    results: Dict[str, Dict[str, float]] = {}
+    preds, gts, valid = [], [], []
+    for art in arts:
+        gt_path = os.path.join(gt_dir, f"{art.flag}.ply")
+        if not os.path.exists(gt_path):
+            continue
+        gt, _ = load_xyz(gt_path)
+        p, _ = resample_fixed(art.fused_xyz, 20000)
+        g, _ = resample_fixed(gt, 35000)
+        preds.append(p)
+        gts.append(g)
+        valid.append(art.flag)
+    if preds:
+        cd, emd = batched_metric(
+            jnp.asarray(np.stack(preds)), jnp.asarray(np.stack(gts)),
+            num_points=int(cfg.metric_points),
+            emd_eps=float(cfg.emd_eps), emd_iters=int(cfg.emd_iters),
+            with_emd=with_emd)
+        for i, flag in enumerate(valid):
+            results[flag] = {"cd": float(cd[i])}
+            if with_emd:
+                results[flag]["emd"] = float(emd[i])
+    return results

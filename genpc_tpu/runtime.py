@@ -12,6 +12,20 @@ import os
 
 import jax
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — kills cross-process recompiles."""
+    import jax
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 
 def use_pallas() -> bool:
     impl = os.environ.get("GENPC_IMPL", "auto")

@@ -98,6 +98,10 @@ DEFAULTS: Dict[str, Any] = dict(
     emd_eps=0.005,
     emd_iters=50,
     input_points=65536,            # fixed input resampling (one compile/run)
+    # skip registration when the image-to-3D backend declares its output
+    # already lives in the input frame (synthetic mirror completion does;
+    # neural backends never do, so they always register)
+    trust_aligned_completion=True,
     weights_dir=None,              # where pretrained safetensors live, if any
     model_size="tiny",             # generative model scale: tiny|base|full
     mesh_shape=None,               # e.g. {"dp": 8} for object parallelism

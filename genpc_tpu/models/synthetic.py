@@ -79,20 +79,157 @@ class SyntheticRembg:
 
 
 class SyntheticImage23D:
-    """Partial cloud + viewpoint -> complete cloud by mirror symmetry.
+    """Partial cloud + viewpoint -> complete cloud by constrained mirroring.
 
     The neural backends consume the no-background image; this one consumes
     the geometry the pipeline already carries (partial cloud + selected
     viewpoint), which is what a model-free completion can honestly use.
+
+    Mirrored candidates are filtered by the **visual hull** of the scan:
+    a mirrored point survives only if its projection through the Stage-1
+    camera lands inside the (dilated) silhouette of the partial cloud —
+    geometry the captured view proves empty is never hallucinated.  This
+    keeps backside fill and drops the phantom wings a raw reflection
+    creates on asymmetric objects.
     """
 
+    #: this backend's completion lives in the input cloud's frame
+    output_aligned = True
+
     def __init__(self, cfg=None, num_points: int | None = None,
-                 jitter: float = 0.004):
+                 jitter: float = 0.004, sil_res: int = 128,
+                 sil_dilate: int = 2):
         if num_points is None:
             num_points = (int(cfg.get("glb_sample_points", 163840))
                           if cfg is not None else 163840)
         self.num_points = num_points
         self.jitter = jitter
+        self.sil_res = sil_res
+        self.sil_dilate = sil_dilate
+        self.fovy = float(cfg.get("fovy", 49.1)) if cfg is not None else 49.1
+
+    def _visual_hull_mask(self, partial: np.ndarray, candidates: np.ndarray,
+                          viewpoint: np.ndarray) -> np.ndarray:
+        """True for candidates projecting inside the partial's silhouette."""
+        from genpc_tpu.geometry.cameras import Camera, transform_points
+        import jax.numpy as jnp
+        cam = Camera.from_eyes(np.asarray(viewpoint, np.float64)[None],
+                               self.fovy, self.sil_res)
+        both = np.concatenate([partial, candidates])
+        t = np.asarray(transform_points(cam, jnp.asarray(both)))[0]
+        uv = t[:, :2]
+        # normalize by the PARTIAL's uv bounds (stage-1 rescale convention)
+        np_part = len(partial)
+        lo = uv[:np_part].min(0)
+        hi = uv[:np_part].max(0)
+        span = max((hi - lo).max(), 1e-9)
+        px = np.clip(((uv[:, 0] - lo[0]) / span * (self.sil_res - 1)),
+                     -1, self.sil_res).astype(np.int64)
+        py = np.clip(((uv[:, 1] - lo[1]) / span * (self.sil_res - 1)),
+                     -1, self.sil_res).astype(np.int64)
+        sil = np.zeros((self.sil_res + 2, self.sil_res + 2), bool)
+        sil[py[:np_part] + 1, px[:np_part] + 1] = True
+        # dilate the silhouette a few pixels
+        for _ in range(self.sil_dilate):
+            s = sil.copy()
+            s[1:] |= sil[:-1]
+            s[:-1] |= sil[1:]
+            s[:, 1:] |= sil[:, :-1]
+            s[:, :-1] |= sil[:, 1:]
+            sil = s
+        cx = np.clip(px[np_part:] + 1, 0, self.sil_res + 1)
+        cy = np.clip(py[np_part:] + 1, 0, self.sil_res + 1)
+        inside_img = (px[np_part:] >= 0) & (px[np_part:] < self.sil_res) \
+            & (py[np_part:] >= 0) & (py[np_part:] < self.sil_res)
+        return sil[cy, cx] & inside_img
+
+    def _best_symmetry_mirror(self, pts: np.ndarray, cols: np.ndarray,
+                              n_azimuths: int = 24, sample: int = 4096,
+                              trim: float = 0.5, accept_ratio: float = 0.008
+                              ) -> Tuple[Optional[np.ndarray],
+                                         Optional[np.ndarray]]:
+        """Search vertical mirror planes; return mirrored points or None.
+
+        Score(plane) = mean of the smallest ``trim`` fraction of
+        NN(mirror(partial) -> partial) distances.  Accept the best plane
+        only if that score is below accept_ratio x object extent.
+        """
+        import jax.numpy as jnp
+        from genpc_tpu.ops.chamfer import nearest_neighbor
+        rng = np.random.default_rng(0)
+        idx = rng.choice(len(pts), min(sample, len(pts)), replace=False)
+        p = pts[idx]
+        centroid = pts.mean(axis=0)
+        extent = float((pts.max(0) - pts.min(0)).max())
+        best = (None, np.inf)
+        thetas = np.linspace(0, np.pi, n_azimuths, endpoint=False)
+        normals = np.stack([np.cos(thetas), np.zeros_like(thetas),
+                            np.sin(thetas)], axis=1)
+        ref = jnp.asarray(p)
+        k_keep = max(1, int(len(p) * trim))
+
+        def plane_score(n, c):
+            d = (p @ n) - c
+            mir = p - 2.0 * d[:, None] * n[None, :]
+            d2, _ = nearest_neighbor(jnp.asarray(mir, jnp.float32), ref)
+            dist = np.sqrt(np.maximum(np.asarray(d2), 0.0))
+            return float(np.sort(dist)[:k_keep].mean())
+
+        # a mirror can never align better than the cloud's own sampling
+        # spacing; floor the acceptance threshold there
+        from genpc_tpu.ops.knn import knn
+        d_self, _ = knn(jnp.asarray(p), jnp.asarray(p), 2)
+        spacing = float(np.median(np.sqrt(np.asarray(d_self)[:, 1])))
+        accept = max(accept_ratio * extent, 1.5 * spacing)
+
+        def new_count(n, c):
+            """How many mirrored sample points are NEW geometry."""
+            d = (p @ n) - c
+            mir = p - 2.0 * d[:, None] * n[None, :]
+            d2, _ = nearest_neighbor(jnp.asarray(mir, jnp.float32), ref)
+            return int((np.asarray(d2) > (0.02 * extent) ** 2).sum())
+
+        def best_offset(n):
+            """Best (score, c) over plane offsets along n — the useful
+            mirror planes rarely pass through the partial's biased
+            centroid, so offsets join the coarse scan."""
+            c0 = float(centroid @ n)
+            out = (np.inf, c0)
+            for dc in np.linspace(-0.15, 0.15, 13) * extent:
+                s = plane_score(n, c0 + dc)
+                if s < out[0]:
+                    out = (s, c0 + dc)
+            return out
+
+        # among (azimuth, offset) planes whose mirror is self-consistent,
+        # prefer the one that GENERATES the most new geometry — a perfect
+        # self-symmetry plane scores best but completes nothing
+        candidates = []
+        for th, n in zip(thetas, normals):
+            s, c = best_offset(n)
+            if s < accept:
+                candidates.append((new_count(n, c), -s, th, c, n))
+        if not candidates:
+            return None, None
+        _, _, th0, c, n = max(candidates)
+        score = plane_score(n, c)
+        # refine azimuth around the winner (the 7.5° grid alone displaces
+        # mirrored edges by percents of the extent), re-searching offsets
+        dth_grid = np.linspace(-np.pi / n_azimuths, np.pi / n_azimuths, 9)
+        for dth in dth_grid:
+            cand = np.array([np.cos(th0 + dth), 0.0, np.sin(th0 + dth)])
+            s, cc = best_offset(cand)
+            if s < score:
+                score, n, c = s, cand, cc
+        if score > accept:
+            return None, None
+        d = (pts @ n) - c
+        mirrored = pts - 2.0 * d[:, None] * n[None, :]
+        # drop mirrored points that duplicate observed geometry
+        d2, _ = nearest_neighbor(jnp.asarray(mirrored, jnp.float32),
+                                 jnp.asarray(pts, jnp.float32))
+        new = np.asarray(d2) > (0.01 * extent) ** 2
+        return mirrored[new].astype(np.float32), cols[new]
 
     def __call__(self, flag: str, image_nobg: np.ndarray,
                  partial_xyz: Optional[np.ndarray] = None,
@@ -107,19 +244,22 @@ class SyntheticImage23D:
         centroid = pts.mean(axis=0)
         if viewpoint is None:
             viewpoint = centroid + np.array([0, 0, 1], np.float32)
-        # mirror across the vertical plane through the centroid whose normal
-        # is the horizontal component of the scan direction
-        n = np.asarray(viewpoint, np.float32) - centroid
-        n[1] = 0.0
-        nrm = np.linalg.norm(n)
-        if nrm < 1e-6:
-            n = np.array([0.0, 0.0, 1.0], np.float32)
-        else:
-            n = n / nrm
-        d = (pts - centroid) @ n
-        mirrored = pts - 2.0 * d[:, None] * n[None, :]
+
+        # detect the object's vertical symmetry plane: sweep azimuths and
+        # plane offsets, score each by the trimmed chamfer of the mirrored
+        # cloud against the partial (trimming tolerates genuinely-new
+        # backside points).  No credible symmetry -> identity completion,
+        # which can never score worse than the raw partial.
+        mirrored, mir_cols = self._best_symmetry_mirror(pts, cols)
+        if mirrored is not None and len(mirrored):
+            keep = self._visual_hull_mask(pts, mirrored,
+                                          np.asarray(viewpoint, np.float64))
+            mirrored, mir_cols = mirrored[keep], mir_cols[keep]
+        if mirrored is None or len(mirrored) == 0:
+            mirrored = pts[:0]
+            mir_cols = cols[:0]
         all_pts = np.concatenate([pts, mirrored], axis=0)
-        all_cols = np.concatenate([cols, cols], axis=0)
+        all_cols = np.concatenate([cols, mir_cols], axis=0)
         rng = np.random.default_rng(
             int(hashlib.sha1(flag.encode()).hexdigest()[:8], 16))
         if len(all_pts) < self.num_points:

@@ -114,8 +114,8 @@ def batched_fps(pts, k: int):
     return jax.vmap(lambda p: fps_indices(p, k))(pts)
 
 
-@functools.partial(jax.jit, static_argnames=("num_points", "emd_iters",
-                                             "with_emd"))
+@functools.partial(jax.jit, static_argnames=("num_points", "emd_eps",
+                                             "emd_iters", "with_emd"))
 def batched_metric(pred, gt, num_points: int = 16384,
                    emd_eps: float = 0.005, emd_iters: int = 50,
                    with_emd: bool = True):

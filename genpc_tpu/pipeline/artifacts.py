@@ -42,6 +42,7 @@ class ObjectArtifacts:
     complete_mesh: Optional[Mesh] = None        # image-to-3D output
     complete_xyz: Optional[np.ndarray] = None   # or a raw complete cloud
     complete_rgb: Optional[np.ndarray] = None
+    complete_aligned: bool = False   # backend declared input-frame output
     # Stage 3 (registration & fusion)
     fused_xyz: Optional[np.ndarray] = None
     fused_rgb: Optional[np.ndarray] = None

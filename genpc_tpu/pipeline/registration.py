@@ -81,6 +81,22 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
         tgt_rgb = (tgt_rgb.astype(np.float32) if tgt_rgb is not None
                    else np.full_like(tgt, 0.5))
 
+    # backends whose completion already lives in the input frame (the
+    # synthetic mirror completion declares this) can skip registration
+    # entirely when the config trusts the declaration — the reference has
+    # no aligned backends, so this path has no reference counterpart
+    if art.complete_aligned and bool(cfg.get("trust_aligned_completion",
+                                             False)):
+        fused, fused_rgb = fuse_clouds(
+            src, tgt, src_rgb, tgt_rgb,
+            num_points=int(cfg.get("fused_points", 20000)),
+            distance_threshold=1e-4, denoise_std_ratio=2.5)
+        art.fused_xyz = fused.astype(np.float32)
+        art.fused_rgb = fused_rgb
+        if cfg.save:
+            Workspace(cfg.output_path, cfg.generative_model).save_fused(art)
+        return art
+
     pose_partial_n = int(cfg.get("pose_partial_points", POSE_PARTIAL_N))
     pose_complete_n = int(cfg.get("pose_complete_points", POSE_COMPLETE_N))
     icp_n = int(cfg.get("icp_points", ICP_N))

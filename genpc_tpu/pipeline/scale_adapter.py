@@ -56,6 +56,8 @@ class ScaleAdapter:
             art.complete_mesh = out
         else:
             art.complete_xyz, art.complete_rgb = out
+        art.complete_aligned = bool(getattr(self.image23d,
+                                            "output_aligned", False))
         return art
 
     # ------------------------------------------------------------------

@@ -71,10 +71,38 @@ def test_stage2_outputs(pipeline_art):
     assert art.color_xyz.shape == art.xyz.shape
     assert art.color_rgb.shape == art.xyz.shape
     assert art.complete_xyz is not None and len(art.complete_xyz) == 4096
-    # synthetic mirror completion must cover more volume than the partial
-    span_c = art.complete_xyz.max(0) - art.complete_xyz.min(0)
-    span_p = art.xyz.max(0) - art.xyz.min(0)
-    assert span_c[2] > span_p[2] * 1.3  # mirrored across the z plane
+    assert art.complete_aligned  # synthetic backend declares its frame
+
+
+def test_synthetic_completion_symmetry():
+    """The mirror fires only on detected symmetry and fills the gap."""
+    from genpc_tpu.models.synthetic import SyntheticImage23D
+    rng = np.random.default_rng(0)
+    # 270-degree vertical cylinder arc: symmetric about the x-y plane
+    # (normal x after the arc parameterization below), missing back quarter
+    theta = rng.uniform(-3 * np.pi / 4, 3 * np.pi / 4, 8000)
+    y = rng.uniform(-0.3, 0.3, 8000)
+    pts = np.stack([0.3 * np.cos(theta), y, 0.3 * np.sin(theta)],
+                   axis=1).astype(np.float32)
+    backend = SyntheticImage23D(num_points=16384)
+    comp, cols = backend("arc", None, partial_xyz=pts,
+                         partial_rgb=np.full_like(pts, 0.5),
+                         viewpoint=np.array([2.0, 0.0, 0.0]))
+    # the completion reaches into the missing back quarter (x < -0.25)
+    assert (comp[:, 0] < -0.25).sum() > 50
+    # and a cloud with no vertical mirror symmetry (asymmetric L with
+    # warped arm cross-sections) falls back to identity geometry
+    a = rng.random((2500, 3)).astype(np.float32) * [1.0, 0.3, 0.2]
+    a[:, 1] *= (0.3 + a[:, 0])            # taper arm A along its length
+    b_arm = rng.random((2500, 3)).astype(np.float32) * [0.25, 0.3, 0.6]
+    b_arm[:, 1] *= (0.2 + 2.0 * b_arm[:, 2] ** 2)
+    asym = np.concatenate([a, b_arm + [0.0, 0.0, 0.2]])
+    comp2, _ = backend("asym", None, partial_xyz=asym,
+                       partial_rgb=np.full_like(asym, 0.5),
+                       viewpoint=np.array([2.0, 0.0, 0.0]))
+    hull = comp2.max(0) - comp2.min(0)
+    base = asym.max(0) - asym.min(0)
+    assert np.all(hull <= base * 1.2)  # no invented volume
 
 
 def test_stage3_fused(pipeline_art):

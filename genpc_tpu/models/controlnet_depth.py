@@ -48,7 +48,16 @@ class ControlNetDepth:
         self.factor = self.vae_cfg.spatial_factor
         cond_ch = (16, 32, 96, 256)[: int(math.log2(self.factor)) + 1]
         self.unet = UNet2DCondition(self.unet_cfg)
-        self.controlnet = ControlNet(self.unet_cfg, cond_channels=cond_ch)
+        if adapter:
+            from genpc_tpu.models.adapter import T2IAdapter
+            # each level's additive feature must match the level's INPUT
+            # width: the downsample keeps the previous level's channels
+            boc = self.unet_cfg.block_out_channels
+            self.controlnet = T2IAdapter((boc[0],) + boc[:-1],
+                                         downscale=self.factor)
+        else:
+            self.controlnet = ControlNet(self.unet_cfg,
+                                         cond_channels=cond_ch)
         self.vae = AutoencoderKL(self.vae_cfg)
         self.prompt_encoder = PromptEncoder(
             "tiny" if size != "full" else "full")
@@ -65,10 +74,15 @@ class ControlNetDepth:
         t = jnp.zeros((1,))
         side = latent_hw * self.factor
         cond_img = jnp.zeros((1, side, side, 3))
+        if self.adapter:
+            cn_params = self.controlnet.init(jax.random.fold_in(rng, 1),
+                                             cond_img)
+        else:
+            cn_params = self.controlnet.init(
+                jax.random.fold_in(rng, 1), lat, t, ctx, cond_img)
         params = {
             "unet": self.unet.init(rng, lat, t, ctx),
-            "controlnet": self.controlnet.init(
-                jax.random.fold_in(rng, 1), lat, t, ctx, cond_img),
+            "controlnet": cn_params,
             "vae": self.vae.init(jax.random.fold_in(rng, 2),
                                  jnp.zeros((1, side, side, 3))),
         }
@@ -90,14 +104,24 @@ class ControlNetDepth:
         latents = jax.random.normal(k, lat_shape) * sched.init_noise_sigma
         noise_keys = jax.random.split(rng, steps)
 
+        if self.adapter:
+            adapter_feats = [f * control_scale for f in self.controlnet.apply(
+                params["controlnet"], cond_img)]
+        else:
+            adapter_feats = None
+
         def body(i, latents):
             t = jnp.full((1,), sched.timesteps[i])
             x_in = sched.scale_model_input(latents, i)
-            mid_c, down_c = self.controlnet.apply(
-                params["controlnet"], x_in, t, context, cond_img,
-                conditioning_scale=control_scale)
-            eps_c = self.unet.apply(params["unet"], x_in, t, context,
-                                    control_residuals=(mid_c, down_c))
+            if self.adapter:
+                eps_c = self.unet.apply(params["unet"], x_in, t, context,
+                                        adapter_features=adapter_feats)
+            else:
+                mid_c, down_c = self.controlnet.apply(
+                    params["controlnet"], x_in, t, context, cond_img,
+                    conditioning_scale=control_scale)
+                eps_c = self.unet.apply(params["unet"], x_in, t, context,
+                                        control_residuals=(mid_c, down_c))
             eps_u = self.unet.apply(params["unet"], x_in, t, context_neg)
             eps = cfg_combine(eps_u, eps_c, guidance)
             noise = jax.random.normal(noise_keys[i], lat_shape)

@@ -29,6 +29,36 @@ import numpy as np
 from genpc_tpu.categories import get_category
 
 
+def _sweep_planes(p, normals, offsets, k_keep: int, new_thresh2):
+    """Score every (azimuth, offset) mirror plane in one device program.
+
+    p [N,3]; normals [A,3]; offsets [A,O].  Returns (scores [A,O] =
+    trimmed-mean NN distance of mirror(p) into p, new_counts [A,O]).
+    """
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.ops.chamfer import _nn
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(p, normals, offsets, new_thresh2, k):
+        def one(n, c):
+            d = p @ n - c
+            mir = p - 2.0 * d[:, None] * n[None, :]
+            d2, _ = _nn(mir[None], p[None])
+            d2 = d2[0]
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+            trimmed = jax.lax.top_k(-dist, k)[0]
+            score = -trimmed.mean()
+            new = (d2 > new_thresh2).sum()
+            return score, new
+
+        return jax.vmap(jax.vmap(one, in_axes=(None, 0)),
+                        in_axes=(0, 0))(normals, offsets)
+
+    return run(p, normals, offsets, new_thresh2, k_keep)
+
+
 def _category_hue(flag: str) -> np.ndarray:
     h = int(hashlib.sha1(get_category(flag).encode()).hexdigest()[:6], 16)
     rgb = np.array([(h >> 16) & 255, (h >> 8) & 255, h & 255], np.float32)
@@ -155,25 +185,26 @@ class SyntheticImage23D:
         only if that score is below accept_ratio x object extent.
         """
         import jax.numpy as jnp
-        from genpc_tpu.ops.chamfer import nearest_neighbor
         rng = np.random.default_rng(0)
         idx = rng.choice(len(pts), min(sample, len(pts)), replace=False)
         p = pts[idx]
         centroid = pts.mean(axis=0)
         extent = float((pts.max(0) - pts.min(0)).max())
-        best = (None, np.inf)
-        thetas = np.linspace(0, np.pi, n_azimuths, endpoint=False)
-        normals = np.stack([np.cos(thetas), np.zeros_like(thetas),
-                            np.sin(thetas)], axis=1)
-        ref = jnp.asarray(p)
         k_keep = max(1, int(len(p) * trim))
 
-        def plane_score(n, c):
-            d = (p @ n) - c
-            mir = p - 2.0 * d[:, None] * n[None, :]
-            d2, _ = nearest_neighbor(jnp.asarray(mir, jnp.float32), ref)
-            dist = np.sqrt(np.maximum(np.asarray(d2), 0.0))
-            return float(np.sort(dist)[:k_keep].mean())
+        def sweep(thetas_np):
+            """ONE jitted program scoring every (azimuth, offset) plane."""
+            normals = np.stack([np.cos(thetas_np),
+                                np.zeros_like(thetas_np),
+                                np.sin(thetas_np)], axis=1)
+            offsets = (normals @ centroid)[:, None] \
+                + np.linspace(-0.15, 0.15, 13)[None, :] * extent
+            scores, news = _sweep_planes(
+                jnp.asarray(p, jnp.float32), jnp.asarray(normals, jnp.float32),
+                jnp.asarray(offsets, jnp.float32), k_keep,
+                jnp.float32((0.02 * extent) ** 2))
+            return (np.asarray(scores), np.asarray(news),
+                    normals, offsets)
 
         # a mirror can never align better than the cloud's own sampling
         # spacing; floor the acceptance threshold there
@@ -182,47 +213,32 @@ class SyntheticImage23D:
         spacing = float(np.median(np.sqrt(np.asarray(d_self)[:, 1])))
         accept = max(accept_ratio * extent, 1.5 * spacing)
 
-        def new_count(n, c):
-            """How many mirrored sample points are NEW geometry."""
-            d = (p @ n) - c
-            mir = p - 2.0 * d[:, None] * n[None, :]
-            d2, _ = nearest_neighbor(jnp.asarray(mir, jnp.float32), ref)
-            return int((np.asarray(d2) > (0.02 * extent) ** 2).sum())
-
-        def best_offset(n):
-            """Best (score, c) over plane offsets along n — the useful
-            mirror planes rarely pass through the partial's biased
-            centroid, so offsets join the coarse scan."""
-            c0 = float(centroid @ n)
-            out = (np.inf, c0)
-            for dc in np.linspace(-0.15, 0.15, 13) * extent:
-                s = plane_score(n, c0 + dc)
-                if s < out[0]:
-                    out = (s, c0 + dc)
-            return out
-
-        # among (azimuth, offset) planes whose mirror is self-consistent,
-        # prefer the one that GENERATES the most new geometry — a perfect
-        # self-symmetry plane scores best but completes nothing
-        candidates = []
-        for th, n in zip(thetas, normals):
-            s, c = best_offset(n)
-            if s < accept:
-                candidates.append((new_count(n, c), -s, th, c, n))
-        if not candidates:
+        thetas = np.linspace(0, np.pi, n_azimuths, endpoint=False)
+        scores, news, normals, offsets = sweep(thetas)
+        # per azimuth: the best offset; among acceptable (azimuth, offset)
+        # planes prefer the one GENERATING the most new geometry — a
+        # perfect self-symmetry plane scores best but completes nothing
+        jbest = scores.argmin(axis=1)
+        az = np.arange(len(thetas))
+        s_az = scores[az, jbest]
+        ok = s_az < accept
+        if not ok.any():
             return None, None
-        _, _, th0, c, n = max(candidates)
-        score = plane_score(n, c)
+        gain = np.where(ok, news[az, jbest], -1)
+        i0 = int(gain.argmax())
+        th0 = thetas[i0]
         # refine azimuth around the winner (the 7.5° grid alone displaces
         # mirrored edges by percents of the extent), re-searching offsets
-        dth_grid = np.linspace(-np.pi / n_azimuths, np.pi / n_azimuths, 9)
-        for dth in dth_grid:
-            cand = np.array([np.cos(th0 + dth), 0.0, np.sin(th0 + dth)])
-            s, cc = best_offset(cand)
-            if s < score:
-                score, n, c = s, cand, cc
+        fine = th0 + np.linspace(-np.pi / n_azimuths, np.pi / n_azimuths, 9)
+        fs, fn, fnormals, foffsets = sweep(fine)
+        jf = fs.argmin(axis=1)
+        iaz = int(fs[np.arange(len(fine)), jf].argmin())
+        score = float(fs[iaz, jf[iaz]])
+        n = fnormals[iaz]
+        c = float(foffsets[iaz, jf[iaz]])
         if score > accept:
             return None, None
+        from genpc_tpu.ops.chamfer import nearest_neighbor
         d = (pts @ n) - c
         mirrored = pts - 2.0 * d[:, None] * n[None, :]
         # drop mirrored points that duplicate observed geometry

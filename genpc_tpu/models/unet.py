@@ -135,7 +135,8 @@ class UNetCore(nn.Module):
 
     @nn.compact
     def __call__(self, latents, temb, context,
-                 cond_residual: Optional[jnp.ndarray] = None):
+                 cond_residual: Optional[jnp.ndarray] = None,
+                 adapter_features=None):
         cfg = self.cfg
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=jnp.bfloat16, name="conv_in")(latents)
@@ -144,6 +145,8 @@ class UNetCore(nn.Module):
         skips = [x]
         for level, ch in enumerate(cfg.block_out_channels):
             last = level == len(cfg.block_out_channels) - 1
+            if adapter_features is not None and level < len(adapter_features):
+                x = x + adapter_features[level]   # T2I-adapter injection
             x, s = CrossAttnDownBlock(
                 cfg, ch, cfg.transformer_depths[level],
                 add_downsample=not last, name=f"down_{level}")(x, temb, context)
@@ -164,7 +167,8 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, latents, t, context, added_cond=None,
-                 control_residuals=None, cond_residual=None):
+                 control_residuals=None, cond_residual=None,
+                 adapter_features=None):
         cfg = self.cfg
         temb = timestep_embedding(t, cfg.block_out_channels[0])
         temb = TimestepEmbed(cfg.temb_dim, name="time_embedding")(temb)
@@ -174,7 +178,8 @@ class UNet2DCondition(nn.Module):
         temb = nn.silu(temb)
 
         x, skips = UNetCore(cfg, name="core")(latents, temb, context,
-                                              cond_residual)
+                                              cond_residual,
+                                              adapter_features)
         if control_residuals is not None:
             mid_res, down_res = control_residuals
             x = x + mid_res

@@ -216,3 +216,28 @@ def test_triplane_sampling_interpolates():
     f = sample_triplane(planes, pts)
     assert f.shape == (2, 2)
     np.testing.assert_allclose(np.asarray(f[:, 0]), 1.0, atol=1e-6)
+
+
+def test_adapter_pipeline_tiny():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.controlnet_depth import ControlNetDepth
+    pipe = ControlNetDepth(load_config(model_size="tiny"), adapter=True)
+    depth = np.random.default_rng(0).random((3, 32, 32)).astype(np.float32)
+    img = pipe.generate(depth, "chair", size=64, num_inference_steps=2)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+
+
+def test_ddnm_data_consistency():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.ddnm import DDNMInpainter
+    inp = DDNMInpainter(load_config(model_size="tiny"), steps=4)
+    img = np.full((3, 32, 32), 0.7, np.float32)
+    img[:, 10:20, 10:20] = 0.0
+    mask = np.zeros((32, 32), np.float32)
+    mask[10:20, 10:20] = 1.0
+    out = inp.inpaint(img, mask)
+    assert out.shape == (3, 32, 32)
+    # known pixels exact (data consistency), holes altered from input
+    np.testing.assert_allclose(out[:, 0, 0], 0.7, atol=1e-3)
+    assert np.isfinite(out).all()

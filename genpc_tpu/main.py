@@ -59,11 +59,17 @@ def run_pipeline(cfg: Config, flags: List[str], data_dir: str,
 
     results: Dict[str, Dict[str, float]] = {}
     for flag, art in arts.items():
-        with timer.span("stage2"):
-            sa.scale_adapter(art)
-        with timer.span("stage3"):
-            reg(cfg, art, cd_inv_weight=0.5, diff_init=True,
-                reg_fine_xyz=True)
+        # per-object fault isolation: one bad scan must not kill the run
+        # (reference batch drivers log-and-continue, camera_utils.py:634-645)
+        try:
+            with timer.span("stage2"):
+                sa.scale_adapter(art)
+            with timer.span("stage3"):
+                reg(cfg, art, cd_inv_weight=0.5, diff_init=True,
+                    reg_fine_xyz=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"Flag: {flag} FAILED: {type(e).__name__}: {e}")
+            continue
         if with_metric:
             gt_path = os.path.join(gt_dir, f"{flag}.ply")
             if os.path.exists(gt_path):

@@ -73,6 +73,32 @@ def evaluate_workspace(flag: str, workspace_root: str, gt_dir: str,
                          with_emd=with_emd)
 
 
+def evaluate_mesh(pred_mesh, gt_points: np.ndarray,
+                  num_points: int = 16384,
+                  normalize_by_gt_bbox: bool = True,
+                  with_emd: bool = False) -> Dict[str, float]:
+    """Mesh-vs-cloud evaluation (reference: metric.py:49-94
+    metric_sds_redwood): sample the predicted mesh, optionally rescale it
+    into the GT's bounding box (the reference's GT-bbox normalization +
+    ground-plane elevation), then run the standard CD/EMD protocol."""
+    from genpc_tpu.io.glb import sample_mesh_surface
+    pred, _ = sample_mesh_surface(pred_mesh, max(num_points * 2, 32768))
+    gt = np.asarray(gt_points, np.float32)
+    if normalize_by_gt_bbox:
+        def fit(p, ref):
+            p_c = (p.max(0) + p.min(0)) / 2
+            r_c = (ref.max(0) + ref.min(0)) / 2
+            scale = ((ref.max(0) - ref.min(0)).max()
+                     / max((p.max(0) - p.min(0)).max(), 1e-9))
+            out = (p - p_c) * scale + r_c
+            # elevate so the floors coincide (world-plane elevation)
+            out[:, 1] += ref[:, 1].min() - out[:, 1].min()
+            return out
+        pred = fit(pred.astype(np.float64), gt.astype(np.float64))
+    return evaluate_pair(pred.astype(np.float32), gt,
+                         num_points=num_points, with_emd=with_emd)
+
+
 def summarize(results: Dict[str, Dict[str, float]]) -> Dict[str, float]:
     """Per-category print + averages (reference: main.py:70-78)."""
     if not results:

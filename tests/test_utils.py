@@ -71,3 +71,21 @@ def test_stage_timer():
     assert "a" in d and "a/b" in d
     assert d["a"][0] >= d["a/b"][0] >= 0.01
     assert d["a"][1] == 1
+
+
+def test_evaluate_mesh_bbox_normalization():
+    from genpc_tpu.io.glb import Mesh
+    from genpc_tpu.metrics.metric import evaluate_mesh
+    from genpc_tpu.ops.marching import marching_tetrahedra
+    # a sphere mesh scaled/shifted away from a sphere GT cloud: bbox
+    # normalization must bring CD near zero
+    g = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    v, f = marching_tetrahedra(0.5 - np.sqrt(X**2 + Y**2 + Z**2))
+    mesh = Mesh((v * 3.0 + 2.0).astype(np.float32), f,
+                np.full((len(v), 3), 0.5, np.float32))
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(5000, 3))
+    gt = (gt / np.linalg.norm(gt, axis=1, keepdims=True) * 0.5).astype(np.float32)
+    m = evaluate_mesh(mesh, gt, num_points=2048)
+    assert m["cd"] < 0.05

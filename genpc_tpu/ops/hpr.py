@@ -81,12 +81,16 @@ def visible_points_zbuffer(points: jnp.ndarray, viewpoints: jnp.ndarray,
         span = jnp.maximum(jnp.maximum(umax - umin, vmax - vmin), 1e-9)
         px = jnp.clip(((u - umin) / span * (res - 1)).astype(jnp.int32), 0, res - 1)
         py = jnp.clip(((v - vmin) / span * (res - 1)).astype(jnp.int32), 0, res - 1)
-        zbuf = jnp.full((res * res,), jnp.inf, jnp.float32)
-        for dy in range(-splat, splat + 1):
-            for dx in range(-splat, splat + 1):
-                qx = jnp.clip(px + dx, 0, res - 1)
-                qy = jnp.clip(py + dy, 0, res - 1)
-                zbuf = zbuf.at[qy * res + qx].min(z)
+        # one fused scatter-min over all splat offsets (scatter op count,
+        # not update size, dominates TPU scatter cost)
+        offs = jnp.arange(-splat, splat + 1, dtype=jnp.int32)
+        oy = jnp.repeat(offs, 2 * splat + 1)[:, None]
+        ox = jnp.tile(offs, 2 * splat + 1)[:, None]
+        qx = jnp.clip(px[None, :] + ox, 0, res - 1)
+        qy = jnp.clip(py[None, :] + oy, 0, res - 1)
+        idx = (qy * res + qx).reshape(-1)
+        zrep = jnp.broadcast_to(z[None, :], qx.shape).reshape(-1)
+        zbuf = jnp.full((res * res,), jnp.inf, jnp.float32).at[idx].min(zrep)
         slack = tol * (z.max() - z.min() + 1e-9)
         return z <= zbuf[py * res + px] + slack
 

@@ -90,13 +90,62 @@ _SDXL_RENAMES = {
 }
 
 
+def sdxl_unet_name_to_flax(name: str, num_levels: int = 3) -> str:
+    """diffusers UNet2DConditionModel parameter name -> our flax path.
+
+    Handles the structural renames: down/up block indexing (diffusers
+    up_blocks[0] is the deepest level; ours is up_{num_levels-1}),
+    GEGLU feed-forward (ff.net.0.proj / ff.net.2 -> ff/proj_in /
+    ff/proj_out), attention to_out.0 -> to_out, transformer block
+    nesting, GroupNorm/LayerNorm weight -> scale.
+    """
+    n = name
+    # up-block index inversion
+    m = re.match(r"up_blocks\.(\d+)\.(.*)", n)
+    if m:
+        lvl = num_levels - 1 - int(m.group(1))
+        n = f"up_{lvl}.{m.group(2)}"
+    n = re.sub(r"^down_blocks\.(\d+)\.", r"core.down_\1.", n)
+    n = re.sub(r"^mid_block\.", "core.mid.", n)
+    n = re.sub(r"^conv_in\.", "core.conv_in.", n)
+    n = re.sub(r"resnets\.(\d+)\.", r"resnets_\1.", n)
+    n = re.sub(r"attentions\.(\d+)\.", r"attentions_\1.", n)
+    n = re.sub(r"transformer_blocks\.(\d+)\.", r"blocks_\1.", n)
+    n = re.sub(r"downsamplers\.0\.conv\.", "downsample.conv.", n)
+    n = re.sub(r"upsamplers\.0\.conv\.", "upsample.conv.", n)
+    n = re.sub(r"ff\.net\.0\.proj\.", "ff.proj_in.", n)
+    n = re.sub(r"ff\.net\.2\.", "ff.proj_out.", n)
+    n = re.sub(r"to_out\.0\.", "to_out.", n)
+    n = n.replace(".", "/")
+    # parameter leaf names: norms use scale, everything else kernel
+    if n.endswith("/weight"):
+        leaf = "scale" if re.search(
+            r"(^|/)(norm\d?|conv_norm_out|ln\w*)/weight$", n) else "kernel"
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_sdxl_unet(tensors: Dict[str, np.ndarray],
+                      num_levels: int = 3) -> Dict[str, np.ndarray]:
+    """Full-checkpoint name conversion (values transposed by graft)."""
+    return {sdxl_unet_name_to_flax(k, num_levels): v
+            for k, v in tensors.items()}
+
+
 def load_sdxl_controlnet(weights_dir: str, params):
-    for sub in ("unet", "controlnet", "vae"):
+    for sub in ("unet", "controlnet"):
         p = os.path.join(weights_dir, sub)
         if os.path.isdir(p):
             tensors = _load_safetensors_dir(p)
-            params[sub] = graft_weights(params[sub], tensors,
-                                        _SDXL_RENAMES, sub)
+            n_levels = len([k for k in params[sub]["params"].get("core", {})
+                            if k.startswith("down_")]) or 3
+            converted = convert_sdxl_unet(tensors, n_levels)
+            params[sub] = graft_weights(params[sub], converted, {}, sub)
+    p = os.path.join(weights_dir, "vae")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        params["vae"] = graft_weights(params["vae"], tensors,
+                                      _SDXL_RENAMES, "vae")
     return params
 
 

@@ -241,3 +241,45 @@ def test_ddnm_data_consistency():
     # known pixels exact (data consistency), holes altered from input
     np.testing.assert_allclose(out[:, 0, 0], 0.7, atol=1e-3)
     assert np.isfinite(out).all()
+
+
+def test_sdxl_weight_name_mapping_roundtrip():
+    """Every flax UNet parameter is reachable from a diffusers-style name."""
+    import re
+    from genpc_tpu.models.weights import sdxl_unet_name_to_flax, _flatten
+
+    cfg = UNetConfig.preset("tiny")
+    model = UNet2DCondition(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.zeros((1,)), jnp.zeros((1, 8, cfg.context_dim)))
+    n_levels = len(cfg.block_out_channels)
+
+    def flax_to_diffusers(path):
+        """Inverse mapping (test-only) from our path to a diffusers name."""
+        n = "/".join(path)
+        n = re.sub(r"^params/", "", n)
+        m = re.match(r"up_(\d+)/(.*)", n)
+        if m:
+            n = f"up_blocks.{n_levels - 1 - int(m.group(1))}/{m.group(2)}"
+        n = re.sub(r"^core/down_(\d+)/", r"down_blocks.\1/", n)
+        n = n.replace("core/mid/", "mid_block/")
+        n = n.replace("core/conv_in/", "conv_in/")
+        n = re.sub(r"resnets_(\d+)/", r"resnets.\1/", n)
+        n = re.sub(r"attentions_(\d+)/", r"attentions.\1/", n)
+        n = re.sub(r"blocks_(\d+)/", r"transformer_blocks.\1/", n)
+        n = n.replace("downsample/conv/", "downsamplers.0/conv/")
+        n = n.replace("upsample/conv/", "upsamplers.0/conv/")
+        n = n.replace("ff/proj_in/", "ff.net.0.proj/")
+        n = n.replace("ff/proj_out/", "ff.net.2/")
+        n = n.replace("to_out/", "to_out.0/")
+        n = n.replace("/scale", "/weight").replace("/kernel", "/weight")
+        return n.replace("/", ".")
+
+    flat = dict(_flatten(params))
+    missed = []
+    for path in flat:
+        dname = flax_to_diffusers(path)
+        back = sdxl_unet_name_to_flax(dname, n_levels)
+        if back != "/".join(path):
+            missed.append(("/".join(path), dname, back))
+    assert not missed, missed[:5]

@@ -144,6 +144,26 @@ def _apply(T, pts):
 def batched_reg(cfg, arts: List[ObjectArtifacts],
                 cd_inv_weight: float = 0.5) -> None:
     """Stage 3 for a batch of objects; writes fused clouds into arts."""
+    # aligned-completion fast path (see pipeline/registration.py)
+    if bool(cfg.get("trust_aligned_completion", False)):
+        aligned = [a for a in arts if a.complete_aligned]
+        if aligned:
+            from genpc_tpu.registration.fusion import fuse_clouds
+            for art in aligned:
+                tgt, tgt_rgb = resample_fixed(
+                    art.complete_xyz,
+                    int(cfg.get("glb_sample_points", 163840)),
+                    art.complete_rgb)
+                art.fused_xyz, art.fused_rgb = fuse_clouds(
+                    np.asarray(art.color_xyz, np.float32),
+                    tgt.astype(np.float32),
+                    np.asarray(art.color_rgb, np.float32),
+                    (np.asarray(tgt_rgb, np.float32) if tgt_rgb is not None
+                     else None),
+                    num_points=int(cfg.get("fused_points", 20000)))
+            arts = [a for a in arts if not a.complete_aligned]
+            if not arts:
+                return
     B = len(arts)
     pose_n = int(cfg.get("pose_complete_points", POSE_N))
     icp_n = int(cfg.get("icp_points", ICP_N))

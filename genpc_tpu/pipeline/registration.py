@@ -42,12 +42,21 @@ ICP_N = 2048
 def resample_fixed(pts: np.ndarray, n: int,
                    cols: Optional[np.ndarray] = None, seed: int = 0
                    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Exact-size resampling (choice without replacement when possible)."""
+    """Exact-size resampling.
+
+    Growing keeps EVERY original point and pads with resampled duplicates
+    (plain choice-with-replacement silently drops ~1/e of the unique
+    points); shrinking is choice without replacement.
+    """
     pts = np.asarray(pts)
     rng = np.random.default_rng(seed)
     if len(pts) == n:
         return pts, cols
-    idx = rng.choice(len(pts), n, replace=len(pts) < n)
+    if len(pts) < n:
+        idx = np.concatenate([np.arange(len(pts)),
+                              rng.integers(0, len(pts), n - len(pts))])
+    else:
+        idx = rng.choice(len(pts), n, replace=False)
     return pts[idx], (None if cols is None else np.asarray(cols)[idx])
 
 

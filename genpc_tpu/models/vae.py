@@ -103,10 +103,16 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, name="encoder")
         self.decoder = Decoder(self.cfg, name="decoder")
+        # the 1x1 moment/latent convs diffusers checkpoints carry
+        self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
+                                  dtype=jnp.float32, name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
+                                       dtype=jnp.float32,
+                                       name="post_quant_conv")
 
     def encode(self, img, rng=None):
         """img [B,H,W,3] in [-1,1] -> scaled latents (mode if rng None)."""
-        moments = self.encoder(img)
+        moments = self.quant_conv(self.encoder(img))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if rng is not None:
             std = jnp.exp(0.5 * jnp.clip(logvar, -30, 20))
@@ -115,7 +121,8 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, latents):
         """scaled latents -> image [B,H,W,3] in [-1,1]."""
-        return self.decoder(latents / self.cfg.scaling_factor)
+        return self.decoder(
+            self.post_quant_conv(latents / self.cfg.scaling_factor))
 
     def __call__(self, img, rng=None):
         return self.decode(self.encode(img, rng))

@@ -132,6 +132,47 @@ def convert_sdxl_unet(tensors: Dict[str, np.ndarray],
             for k, v in tensors.items()}
 
 
+def vae_name_to_flax(name: str, num_levels: int = 4) -> str:
+    """diffusers AutoencoderKL parameter name -> our flax path.
+
+    Our VAE flattens blocks into enc/dec stage names: encoder
+    down_blocks.L.resnets.I -> encoder/down_L_res_I, downsamplers.0.conv
+    -> down_L_ds/conv, mid_block resnets/attention -> mid_res_{0,1} /
+    mid_attn, decoder up_blocks reversed (diffusers up_blocks[0] is the
+    deepest level), conv_norm_out -> norm_out.
+    """
+    n = name
+    m = re.match(r"decoder\.up_blocks\.(\d+)\.(.*)", n)
+    if m:
+        lvl = num_levels - 1 - int(m.group(1))
+        rest = m.group(2)
+        rest = re.sub(r"^resnets\.(\d+)\.", rf"up_{lvl}_res_\1.", rest)
+        rest = re.sub(r"^upsamplers\.0\.", rf"up_{lvl}_us.", rest)
+        n = "decoder." + rest
+    n = re.sub(r"encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.",
+               r"encoder.down_\1_res_\2.", n)
+    n = re.sub(r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.",
+               r"encoder.down_\1_ds.", n)
+    n = re.sub(r"mid_block\.resnets\.(\d+)\.", r"mid_res_\1.", n)
+    n = re.sub(r"mid_block\.attentions\.0\.", "mid_attn.", n)
+    n = n.replace("group_norm.", "norm.")
+    n = n.replace("conv_norm_out.", "norm_out.")
+    n = n.replace("to_out.0.", "to_out.")
+    # attention projections live inside the inner Attention module
+    n = re.sub(r"mid_attn\.(to_q|to_k|to_v|to_out)\.",
+               r"mid_attn.attn.\1.", n)
+    n = n.replace(".", "/")
+    if n.endswith("/weight"):
+        leaf = "scale" if re.search(r"(^|/)(norm\w*)/weight$", n) else "kernel"
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_vae(tensors: Dict[str, np.ndarray], num_levels: int = 4
+                ) -> Dict[str, np.ndarray]:
+    return {vae_name_to_flax(k, num_levels): v for k, v in tensors.items()}
+
+
 def load_sdxl_controlnet(weights_dir: str, params):
     for sub in ("unet", "controlnet"):
         p = os.path.join(weights_dir, sub)
@@ -144,8 +185,11 @@ def load_sdxl_controlnet(weights_dir: str, params):
     p = os.path.join(weights_dir, "vae")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
-        params["vae"] = graft_weights(params["vae"], tensors,
-                                      _SDXL_RENAMES, "vae")
+        n_levels = len({k.split("_")[1] for k in
+                        params["vae"]["params"].get("encoder", {})
+                        if k.startswith("down_")}) or 4
+        params["vae"] = graft_weights(params["vae"], convert_vae(
+            tensors, n_levels), {}, "vae")
     return params
 
 

@@ -283,3 +283,44 @@ def test_sdxl_weight_name_mapping_roundtrip():
         if back != "/".join(path):
             missed.append(("/".join(path), dname, back))
     assert not missed, missed[:5]
+
+
+def test_vae_weight_name_mapping_roundtrip():
+    import re
+    from genpc_tpu.models.weights import vae_name_to_flax, _flatten
+    cfg = VAEConfig.preset("tiny")
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    n_levels = len(cfg.block_out_channels)
+
+    def flax_to_diffusers(path):
+        n = "/".join(path)
+        n = re.sub(r"^params/", "", n)
+        m = re.match(r"decoder/up_(\d+)_res_(\d+)/(.*)", n)
+        if m:
+            n = (f"decoder/up_blocks.{n_levels - 1 - int(m.group(1))}"
+                 f".resnets.{m.group(2)}/{m.group(3)}")
+        m = re.match(r"decoder/up_(\d+)_us/(.*)", n)
+        if m:
+            n = (f"decoder/up_blocks.{n_levels - 1 - int(m.group(1))}"
+                 f".upsamplers.0/{m.group(2)}")
+        n = re.sub(r"encoder/down_(\d+)_res_(\d+)/",
+                   r"encoder/down_blocks.\1.resnets.\2/", n)
+        n = re.sub(r"encoder/down_(\d+)_ds/",
+                   r"encoder/down_blocks.\1.downsamplers.0/", n)
+        n = re.sub(r"mid_res_(\d+)/", r"mid_block.resnets.\1/", n)
+        n = n.replace("mid_attn/attn/to_out/", "mid_block.attentions.0.to_out.0/")
+        n = re.sub(r"mid_attn/attn/(to_[qkv])/", r"mid_block.attentions.0.\1/", n)
+        n = n.replace("mid_attn/norm/", "mid_block.attentions.0.group_norm/")
+        n = n.replace("norm_out/", "conv_norm_out/")
+        n = n.replace("/scale", "/weight").replace("/kernel", "/weight")
+        return n.replace("/", ".")
+
+    flat = dict(_flatten(params))
+    missed = []
+    for path in flat:
+        dname = flax_to_diffusers(path)
+        back = vae_name_to_flax(dname, n_levels)
+        if back != "/".join(path):
+            missed.append(("/".join(path), dname, back))
+    assert not missed, missed[:5]

@@ -14,6 +14,7 @@ CUDA extension).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from genpc_tpu.ops.chamfer import chamfer_distances
@@ -44,6 +45,36 @@ def chamfer_partial_l2(p1, p2):
 def emd_loss(p1, p2, eps: float = 0.005, iters: int = 50):
     d, _ = emd_auction(p1, p2, eps=eps, iters=iters)
     return jnp.sqrt(jnp.maximum(d, 0.0)).mean()
+
+
+def apml_loss(p1, p2, temperature: float = 0.05):
+    """Approximate point-matching loss (soft, fully differentiable).
+
+    A smooth alternative to the auction EMD for training-time gradients
+    (APML, arXiv:2512.19743 — see PAPERS.md): a doubly-soft assignment
+    built from row- and column-softmaxes of the negative distance matrix
+    (one Sinkhorn-style balancing step), contracted against the squared
+    distances.  O(N·M) MXU-friendly, no iteration count, gradients flow
+    to both clouds.  Approaches one-sided-NN Chamfer as temperature -> 0
+    and a uniform coupling as temperature -> inf.
+    """
+    a = jnp.asarray(p1, jnp.float32)
+    b = jnp.asarray(p2, jnp.float32)
+    if a.ndim == 2:
+        a, b = a[None], b[None]
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    cross = jnp.einsum("bnd,bmd->bnm", a, b,
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(a2[..., :, None] + b2[..., None, :] - 2 * cross, 0.0)
+    logits = -d2 / temperature
+    # geometric mean of row/column softmaxes ~ one balanced coupling step
+    log_r = jax.nn.log_softmax(logits, axis=-1)
+    log_c = jax.nn.log_softmax(logits, axis=-2)
+    coupling = jnp.exp(0.5 * (log_r + log_c))
+    coupling = coupling / jnp.maximum(
+        coupling.sum(axis=(-2, -1), keepdims=True), 1e-12)
+    return jnp.sum(coupling * d2, axis=(-2, -1)).mean()
 
 
 class CompletionLoss:

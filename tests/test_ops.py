@@ -259,3 +259,19 @@ def test_completion_loss_facade(rng):
     cd = float(cl_cd.get_loss(x, y))
     emd = float(cl_emd.get_loss(x, y))
     assert 0 < cd < emd + 1e-6  # EMD upper-bounds one-to-one matching cost
+
+
+def test_apml_loss_properties(rng):
+    from genpc_tpu.metrics.losses import apml_loss
+    x = rng.random((128, 3)).astype(np.float32)
+    y = rng.random((128, 3)).astype(np.float32)
+    # identity is near zero; differentiable w.r.t. both clouds
+    assert float(apml_loss(x, x, temperature=0.001)) < 1e-3
+    l_xy = float(apml_loss(x, y))
+    assert l_xy > 0
+    gx, gy = jax.grad(lambda a, b: apml_loss(a, b), argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(y))
+    assert float(jnp.abs(gx).sum()) > 0 and float(jnp.abs(gy).sum()) > 0
+    # shifting y away increases the loss
+    l_far = float(apml_loss(x, y + 1.0))
+    assert l_far > l_xy

@@ -29,34 +29,55 @@ import numpy as np
 from genpc_tpu.categories import get_category
 
 
+def _sweep_planes_batched_impl(p, normals, offsets, new_thresh2, k: int):
+    """p [B,N,3]; normals [B,A,3]; offsets [B,A,O]; new_thresh2 [B]."""
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.ops.chamfer import _nn
+
+    def per_object(p1, normals1, offsets1, thr):
+        def one(n, c):
+            d = p1 @ n - c
+            mir = p1 - 2.0 * d[:, None] * n[None, :]
+            d2, _ = _nn(mir[None], p1[None])
+            d2 = d2[0]
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+            trimmed = jax.lax.top_k(-dist, k)[0]
+            score = -trimmed.mean()
+            new = (d2 > thr).sum()
+            return score, new
+
+        return jax.vmap(jax.vmap(one, in_axes=(None, 0)),
+                        in_axes=(0, 0))(normals1, offsets1)
+
+    return jax.vmap(per_object)(p, normals, offsets, new_thresh2)
+
+
+_SWEEP_JIT = None
+
+
+def _sweep_planes_batched(p, normals, offsets, new_thresh2, k: int):
+    global _SWEEP_JIT
+    import functools
+    import jax
+    if _SWEEP_JIT is None:
+        _SWEEP_JIT = jax.jit(_sweep_planes_batched_impl,
+                             static_argnames=("k",))
+    import jax.numpy as jnp
+    return _SWEEP_JIT(jnp.asarray(p), jnp.asarray(normals),
+                      jnp.asarray(offsets), jnp.asarray(new_thresh2), k=k)
+
+
 def _sweep_planes(p, normals, offsets, k_keep: int, new_thresh2):
     """Score every (azimuth, offset) mirror plane in one device program.
 
     p [N,3]; normals [A,3]; offsets [A,O].  Returns (scores [A,O] =
     trimmed-mean NN distance of mirror(p) into p, new_counts [A,O]).
     """
-    import functools
-    import jax
-    import jax.numpy as jnp
-    from genpc_tpu.ops.chamfer import _nn
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run(p, normals, offsets, new_thresh2, k):
-        def one(n, c):
-            d = p @ n - c
-            mir = p - 2.0 * d[:, None] * n[None, :]
-            d2, _ = _nn(mir[None], p[None])
-            d2 = d2[0]
-            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-            trimmed = jax.lax.top_k(-dist, k)[0]
-            score = -trimmed.mean()
-            new = (d2 > new_thresh2).sum()
-            return score, new
-
-        return jax.vmap(jax.vmap(one, in_axes=(None, 0)),
-                        in_axes=(0, 0))(normals, offsets)
-
-    return run(p, normals, offsets, new_thresh2, k_keep)
+    import numpy as _np
+    s, n = _sweep_planes_batched(p[None], normals[None], offsets[None],
+                                 _np.asarray([new_thresh2]), k_keep)
+    return s[0], n[0]
 
 
 def _category_hue(flag: str) -> np.ndarray:
@@ -173,79 +194,129 @@ class SyntheticImage23D:
             & (py[np_part:] >= 0) & (py[np_part:] < self.sil_res)
         return sil[cy, cx] & inside_img
 
+    @staticmethod
+    def plan_symmetry_batched(pts_list, n_azimuths: int = 24,
+                              sample: int = 4096, trim: float = 0.5,
+                              accept_ratio: float = 0.008):
+        """Find (normal, offset) symmetry planes for a BATCH of clouds.
+
+        All B objects' coarse sweeps (24 azimuths × 13 offsets each) run
+        as one device program, then all fine sweeps as a second — two
+        dispatches total instead of ~2B.  Returns a list of (n [3], c)
+        or None per object.
+
+        Score(plane) = mean of the smallest ``trim`` fraction of
+        NN(mirror(partial) -> partial) distances; acceptance is floored
+        at 1.5x the cloud's own sampling spacing.  Among acceptable
+        planes the one GENERATING the most new geometry wins (a perfect
+        self-symmetry plane scores best but completes nothing).
+        """
+        import jax
+        import jax.numpy as jnp
+        from genpc_tpu.ops.knn import knn
+        B = len(pts_list)
+        rng = np.random.default_rng(0)
+        ps, cents, exts = [], [], []
+        for pts in pts_list:
+            idx = rng.choice(len(pts), min(sample, len(pts)), replace=False)
+            p = pts[idx]
+            if len(p) < sample:   # pad by repetition to the fixed size
+                pad = rng.integers(0, len(p), sample - len(p))
+                p = np.concatenate([p, p[pad]])
+            ps.append(p.astype(np.float32))
+            cents.append(pts.mean(axis=0))
+            exts.append(float((pts.max(0) - pts.min(0)).max()))
+        P = np.stack(ps)                                  # [B,S,3]
+        k_keep = max(1, int(sample * trim))
+
+        d_self, _ = jax.vmap(lambda a: knn(a, a, 2))(jnp.asarray(P))
+        spacing = np.median(np.sqrt(np.asarray(d_self)[:, :, 1]), axis=1)
+        accept = np.maximum(accept_ratio * np.asarray(exts), 1.5 * spacing)
+        thr2 = (0.02 * np.asarray(exts)) ** 2
+
+        def make_planes(thetas_b):
+            """thetas_b [B,A] -> (normals [B,A,3], offsets [B,A,O])."""
+            normals = np.stack([np.cos(thetas_b),
+                                np.zeros_like(thetas_b),
+                                np.sin(thetas_b)], axis=-1)
+            base = np.einsum("bad,bd->ba", normals, np.stack(cents))
+            offsets = base[..., None] + (np.linspace(-0.15, 0.15, 13)[None,
+                                         None, :]
+                                         * np.asarray(exts)[:, None, None])
+            return normals, offsets
+
+        thetas = np.tile(np.linspace(0, np.pi, n_azimuths,
+                                     endpoint=False)[None], (B, 1))
+        normals, offsets = make_planes(thetas)
+        scores, news = map(np.asarray, _sweep_planes_batched(
+            P, normals, offsets, thr2, k_keep))
+
+        jbest = scores.argmin(axis=2)                      # [B,A]
+        az = np.arange(n_azimuths)
+        s_az = np.take_along_axis(scores, jbest[..., None], 2)[..., 0]
+        ok = s_az < accept[:, None]
+        n_az = np.take_along_axis(news, jbest[..., None], 2)[..., 0]
+        gain = np.where(ok, n_az, -1)
+        i0 = gain.argmax(axis=1)                           # [B]
+        any_ok = ok.any(axis=1)
+
+        # fine azimuth refinement around each winner, re-searching offsets
+        th0 = thetas[np.arange(B), i0]
+        fine = th0[:, None] + np.linspace(-np.pi / n_azimuths,
+                                          np.pi / n_azimuths, 9)[None]
+        fnormals, foffsets = make_planes(fine)
+        fs, _ = map(np.asarray, _sweep_planes_batched(
+            P, fnormals, foffsets, thr2, k_keep))
+        jf = fs.argmin(axis=2)                             # [B,9]
+        fmin = np.take_along_axis(fs, jf[..., None], 2)[..., 0]
+        iaz = fmin.argmin(axis=1)                          # [B]
+        score = fmin[np.arange(B), iaz]
+
+        plans = []
+        for b in range(B):
+            if not any_ok[b] or score[b] > accept[b]:
+                plans.append(None)
+            else:
+                plans.append((fnormals[b, iaz[b]],
+                              float(foffsets[b, iaz[b], jf[b, iaz[b]]])))
+        return plans
+
+    def _apply_mirror(self, pts, cols, plan):
+        """Mirror the full cloud across the plan's plane, drop duplicates."""
+        import jax.numpy as jnp
+        from genpc_tpu.ops.chamfer import nearest_neighbor
+        if plan is None:
+            return None, None
+        n, c = plan
+        extent = float((pts.max(0) - pts.min(0)).max())
+        d = (pts @ n) - c
+        mirrored = pts - 2.0 * d[:, None] * n[None, :]
+        d2, _ = nearest_neighbor(jnp.asarray(mirrored, jnp.float32),
+                                 jnp.asarray(pts, jnp.float32))
+        new = np.asarray(d2) > (0.01 * extent) ** 2
+        return mirrored[new].astype(np.float32), cols[new]
+
     def _best_symmetry_mirror(self, pts: np.ndarray, cols: np.ndarray,
                               n_azimuths: int = 24, sample: int = 4096,
                               trim: float = 0.5, accept_ratio: float = 0.008
                               ) -> Tuple[Optional[np.ndarray],
                                          Optional[np.ndarray]]:
-        """Search vertical mirror planes; return mirrored points or None.
+        """Single-object symmetry search (see plan_symmetry_batched)."""
+        plan = self.plan_symmetry_batched([pts], n_azimuths, sample, trim,
+                                          accept_ratio)[0]
+        return self._apply_mirror(pts, cols, plan)
 
-        Score(plane) = mean of the smallest ``trim`` fraction of
-        NN(mirror(partial) -> partial) distances.  Accept the best plane
-        only if that score is below accept_ratio x object extent.
-        """
-        import jax.numpy as jnp
-        rng = np.random.default_rng(0)
-        idx = rng.choice(len(pts), min(sample, len(pts)), replace=False)
-        p = pts[idx]
-        centroid = pts.mean(axis=0)
-        extent = float((pts.max(0) - pts.min(0)).max())
-        k_keep = max(1, int(len(p) * trim))
-
-        def sweep(thetas_np):
-            """ONE jitted program scoring every (azimuth, offset) plane."""
-            normals = np.stack([np.cos(thetas_np),
-                                np.zeros_like(thetas_np),
-                                np.sin(thetas_np)], axis=1)
-            offsets = (normals @ centroid)[:, None] \
-                + np.linspace(-0.15, 0.15, 13)[None, :] * extent
-            scores, news = _sweep_planes(
-                jnp.asarray(p, jnp.float32), jnp.asarray(normals, jnp.float32),
-                jnp.asarray(offsets, jnp.float32), k_keep,
-                jnp.float32((0.02 * extent) ** 2))
-            return (np.asarray(scores), np.asarray(news),
-                    normals, offsets)
-
-        # a mirror can never align better than the cloud's own sampling
-        # spacing; floor the acceptance threshold there
-        from genpc_tpu.ops.knn import knn
-        d_self, _ = knn(jnp.asarray(p), jnp.asarray(p), 2)
-        spacing = float(np.median(np.sqrt(np.asarray(d_self)[:, 1])))
-        accept = max(accept_ratio * extent, 1.5 * spacing)
-
-        thetas = np.linspace(0, np.pi, n_azimuths, endpoint=False)
-        scores, news, normals, offsets = sweep(thetas)
-        # per azimuth: the best offset; among acceptable (azimuth, offset)
-        # planes prefer the one GENERATING the most new geometry — a
-        # perfect self-symmetry plane scores best but completes nothing
-        jbest = scores.argmin(axis=1)
-        az = np.arange(len(thetas))
-        s_az = scores[az, jbest]
-        ok = s_az < accept
-        if not ok.any():
-            return None, None
-        gain = np.where(ok, news[az, jbest], -1)
-        i0 = int(gain.argmax())
-        th0 = thetas[i0]
-        # refine azimuth around the winner (the 7.5° grid alone displaces
-        # mirrored edges by percents of the extent), re-searching offsets
-        fine = th0 + np.linspace(-np.pi / n_azimuths, np.pi / n_azimuths, 9)
-        fs, fn, fnormals, foffsets = sweep(fine)
-        jf = fs.argmin(axis=1)
-        iaz = int(fs[np.arange(len(fine)), jf].argmin())
-        score = float(fs[iaz, jf[iaz]])
-        n = fnormals[iaz]
-        c = float(foffsets[iaz, jf[iaz]])
-        if score > accept:
-            return None, None
-        from genpc_tpu.ops.chamfer import nearest_neighbor
-        d = (pts @ n) - c
-        mirrored = pts - 2.0 * d[:, None] * n[None, :]
-        # drop mirrored points that duplicate observed geometry
-        d2, _ = nearest_neighbor(jnp.asarray(mirrored, jnp.float32),
-                                 jnp.asarray(pts, jnp.float32))
-        new = np.asarray(d2) > (0.01 * extent) ** 2
-        return mirrored[new].astype(np.float32), cols[new]
+    def complete_with_plan(self, flag: str, partial_xyz, partial_rgb,
+                           viewpoint, plan) -> Tuple[np.ndarray, np.ndarray]:
+        """Assemble the completion from a precomputed symmetry plan
+        (the batched driver plans all objects in two device calls)."""
+        pts = np.asarray(partial_xyz, np.float32)
+        cols = (np.asarray(partial_rgb, np.float32)
+                if partial_rgb is not None else np.full_like(pts, 0.6))
+        if viewpoint is None:
+            viewpoint = pts.mean(axis=0) + np.array([0, 0, 1], np.float32)
+        mirrored, mir_cols = self._apply_mirror(pts, cols, plan)
+        return self._assemble(flag, pts, cols, mirrored, mir_cols, viewpoint)
 
     def __call__(self, flag: str, image_nobg: np.ndarray,
                  partial_xyz: Optional[np.ndarray] = None,
@@ -267,6 +338,10 @@ class SyntheticImage23D:
         # backside points).  No credible symmetry -> identity completion,
         # which can never score worse than the raw partial.
         mirrored, mir_cols = self._best_symmetry_mirror(pts, cols)
+        return self._assemble(flag, pts, cols, mirrored, mir_cols, viewpoint)
+
+    def _assemble(self, flag, pts, cols, mirrored, mir_cols, viewpoint
+                  ) -> Tuple[np.ndarray, np.ndarray]:
         if mirrored is not None and len(mirrored):
             keep = self._visual_hull_mask(pts, mirrored,
                                           np.asarray(viewpoint, np.float64))

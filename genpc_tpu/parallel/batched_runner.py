@@ -272,8 +272,8 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
         art = ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx])
         dp.get_image(art, verbose=verbose)
-        sa.scale_adapter(art)
         arts.append(art)
+    sa.scale_adapter_batch(arts)
 
     batch = batch or len(arts)
     for i in range(0, len(arts), batch):

@@ -70,6 +70,30 @@ class ScaleAdapter:
             self.workspace.save_stage2(art)
         return art
 
+    def scale_adapter_batch(self, arts) -> None:
+        """Stage 2 for a batch: per-object matting/coloring (cheap host
+        work) + batched symmetry planning when the backend supports it
+        (two device dispatches for the whole batch)."""
+        from genpc_tpu.models.synthetic import SyntheticImage23D
+        for art in arts:
+            self.remove_bg(art)
+            self.color_point(art)
+        if isinstance(self.image23d, SyntheticImage23D):
+            plans = SyntheticImage23D.plan_symmetry_batched(
+                [a.color_xyz for a in arts])
+            for art, plan in zip(arts, plans):
+                art.complete_xyz, art.complete_rgb = \
+                    self.image23d.complete_with_plan(
+                        art.flag, art.color_xyz, art.color_rgb,
+                        art.viewpoint, plan)
+                art.complete_aligned = True
+        else:
+            for art in arts:
+                self.img2shape(art)
+        if self.cfg.save:
+            for art in arts:
+                self.workspace.save_stage2(art)
+
     def scale_reg(self, art: ObjectArtifacts) -> ObjectArtifacts:
         """Stage 3 hand-off (reference: ScaleAdapter.py:74-75)."""
         from genpc_tpu.pipeline.registration import reg

@@ -270,9 +270,13 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         xyz, rgb = load_xyz(os.path.join(data_dir, f"{flag}.ply"))
         rng = np.random.default_rng(0)
         idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
-        art = ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx])
-        dp.get_image(art, verbose=verbose)
-        arts.append(art)
+        arts.append(ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx]))
+    # stage 1: one jitted program over the whole batch
+    batched_stage1(cfg, arts, dp.viewpoints)
+    from genpc_tpu.categories import get_category
+    for art in arts:
+        art.image = np.asarray(dp.depth2image.generate(
+            art.depth, get_category(art.flag), size=int(cfg.generate_res)))
     sa.scale_adapter_batch(arts)
 
     batch = batch or len(arts)
@@ -303,3 +307,103 @@ def run_batched(cfg, flags: List[str], data_dir: str,
             if with_emd:
                 results[flag]["emd"] = float(emd[i])
     return results
+
+
+# -------------------------------------------------------- batched stage 1
+
+def _jnp_up_vector(eye):
+    """calculate_up_vector in jnp (geometry/cameras.py host twin)."""
+    gaze = -eye
+    world_up = jnp.array([0.0, 1.0, 0.0])
+    side = jnp.cross(gaze, world_up)
+    degenerate = jnp.linalg.norm(side) < 1e-8
+    up = jnp.cross(side, gaze)
+    up = up / jnp.maximum(jnp.linalg.norm(up), 1e-12)
+    return jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0]), up)
+
+
+def _project(eye, pts, fovy_rad):
+    """Project pts [N,3] through a camera at eye looking at the origin."""
+    from genpc_tpu.geometry.cameras import look_at_rotation
+    up = _jnp_up_vector(eye)
+    rot = look_at_rotation(eye, jnp.zeros(3), up)
+    cam = (pts - eye) @ rot.T
+    depth = -cam[:, 2]
+    inv_tan = 1.0 / jnp.tan(fovy_rad * 0.5)
+    safe = jnp.maximum(depth, 1e-8)
+    return jnp.stack([cam[:, 0] / safe * inv_tan,
+                      cam[:, 1] / safe * inv_tan, depth], axis=-1)
+
+
+def make_stage1_core(cfg, viewpoints: np.ndarray):
+    """Build the jitted batched Stage-1 core: (xyz, rgb) [B,N,3] ->
+    (uv [B,N,2], viewpoint [B,3], raw_depth/depth/mask [B,3,res,res]).
+
+    The whole stage — FPS, 1024-view z-buffer viewpoint selection,
+    best-vs-opposite depth-sum heuristic, splatting, masks, diffusion
+    inpaint — is one device program over the object batch.
+    """
+    import math
+    from genpc_tpu.geometry.cameras import rescale_uvs
+    from genpc_tpu.ops.hpr import auto_zbuffer_res, visible_points_zbuffer
+    from genpc_tpu.render.inpaint import diffusion_inpaint
+    from genpc_tpu.render.splat import raw_depth_images, uvs_to_pixels
+
+    views = jnp.asarray(viewpoints, jnp.float32)
+    fovy_rad = math.pi * float(cfg.fovy) / 180.0
+    res = int(cfg.res)
+    n_ds = int(cfg.downsample_num)
+    point_size = int(cfg.point_size)
+    mask_rate = int(cfg.mask_pixel_rate)
+    padding = float(cfg.padding)
+    inpaint_iters = int(cfg.get("inpaint_iters", 250))
+    sel_res = auto_zbuffer_res(n_ds)
+
+    @jax.jit
+    def core(xyz, rgb):
+        # viewpoint selection on an FPS downsample
+        sidx = batched_fps(xyz, n_ds)
+        sampled = jnp.take_along_axis(xyz, sidx[..., None], axis=1)
+        # lax.map, not vmap: the 1024-view scatter intermediates are
+        # ~0.8 GB per object — vmapping the batch would blow HBM
+        vis = jax.lax.map(lambda p: visible_points_zbuffer(
+            p, views, res=sel_res), sampled)           # [B,V,n_ds]
+        best = vis.sum(-1).argmax(-1)                  # [B]
+        vp = views[best]                               # [B,3]
+
+        def per_object(pts, cols, eye):
+            cand = jnp.stack([eye, -eye])              # best + opposite
+            t = jax.vmap(lambda e: _project(e, pts, fovy_rad))(cand)
+            uv, d = rescale_uvs(t, padding)            # [2,N,2], [2,N]
+            res_vis = auto_zbuffer_res(pts.shape[0])
+            v2 = visible_points_zbuffer(pts, cand, res=res_vis)  # [2,N]
+            sums = jnp.sum(jnp.where(v2, d, 0.0), axis=1)
+            pick = jnp.argmax(sums)                    # reference heuristic
+            uv_s, d_s, vis_s = uv[pick], d[pick], v2[pick]
+            view_s = cand[pick]
+            pixels = uvs_to_pixels(uv_s, res)
+            sparse, raw, m1, m2 = raw_depth_images(
+                pixels, d_s, cols, res=res, point_size=point_size,
+                mask_pixel_rate=mask_rate, valid=vis_s)
+            depth_img = diffusion_inpaint(raw, m1, iters=inpaint_iters)
+            return uv_s, view_s, raw, depth_img, m1
+
+        return jax.vmap(per_object)(xyz, rgb, vp)
+
+    return core
+
+
+def batched_stage1(cfg, arts: List[ObjectArtifacts],
+                   viewpoints: np.ndarray, core=None) -> None:
+    """Run the jitted Stage-1 core over a batch; fill art fields."""
+    core = core or make_stage1_core(cfg, viewpoints)
+    xyz = jnp.asarray(np.stack([a.xyz for a in arts]), jnp.float32)
+    rgb = jnp.asarray(np.stack([a.rgb for a in arts]), jnp.float32)
+    uv, vp, raw, depth, mask = core(xyz, rgb)
+    uv, vp, raw, depth, mask = map(np.asarray, (uv, vp, raw, depth, mask))
+    for i, art in enumerate(arts):
+        art.point_uv = uv[i]
+        art.viewpoint = vp[i]
+        art.raw_depth = raw[i]
+        art.depth = depth[i]
+        art.mask = mask[i]

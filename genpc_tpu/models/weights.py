@@ -52,13 +52,21 @@ def _torch_to_flax(name: str, tensor: np.ndarray,
     return t
 
 
+def _unbox(leaf):
+    """Unwrap flax LogicallyPartitioned (and similar .value boxes)."""
+    return getattr(leaf, "value", leaf)
+
+
 def graft_weights(params, torch_tensors: Dict[str, np.ndarray],
                   rename: Dict[str, str], label: str):
-    """Copy matching tensors into the flax tree; report coverage."""
-    import jax
+    """Copy matching tensors into the flax tree; report coverage.
+
+    Logical-partitioning boxes (nn.with_logical_partitioning) are
+    preserved: values graft inside the box so sharding metadata survives.
+    """
     flat = dict(_flatten(params))
     hits, misses = 0, []
-    new = {"/".join(p): np.asarray(v) for p, v in flat.items()}
+    new = {"/".join(p): np.asarray(_unbox(v)) for p, v in flat.items()}
     for tname, tensor in torch_tensors.items():
         fname = tname
         for pat, rep in rename.items():
@@ -66,7 +74,8 @@ def graft_weights(params, torch_tensors: Dict[str, np.ndarray],
         if fname in new:
             conv = _torch_to_flax(tname, tensor, new[fname].shape)
             if conv.shape == new[fname].shape:
-                new[fname] = conv.astype(new[fname].dtype)
+                new[fname] = np.ascontiguousarray(conv).astype(
+                    new[fname].dtype)
                 hits += 1
                 continue
         misses.append(tname)
@@ -76,7 +85,10 @@ def graft_weights(params, torch_tensors: Dict[str, np.ndarray],
     def rebuild(tree, prefix=()):
         if isinstance(tree, dict):
             return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
-        return new["/".join(prefix)]
+        val = new["/".join(prefix)]
+        if hasattr(tree, "value") and hasattr(tree, "replace"):
+            return tree.replace(value=val)   # re-box partitioned leaves
+        return val
 
     return rebuild(params)
 

@@ -324,3 +324,75 @@ def test_vae_weight_name_mapping_roundtrip():
         if back != "/".join(path):
             missed.append(("/".join(path), dname, back))
     assert not missed, missed[:5]
+
+
+def test_graft_weights_end_to_end(tmp_path):
+    """Full loader path: torch-layout safetensors -> converted names ->
+    grafted flax tree with transposed tensors and 100% coverage."""
+    import re
+    from safetensors.numpy import save_file
+    from genpc_tpu.models.weights import (
+        _flatten, _load_safetensors_dir, convert_sdxl_unet, graft_weights)
+
+    cfg = UNetConfig.preset("tiny")
+    model = UNet2DCondition(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.zeros((1,)), jnp.zeros((1, 8, cfg.context_dim)))
+    n_levels = len(cfg.block_out_channels)
+
+    def flax_to_diffusers(path):
+        n = "/".join(path)
+        n = re.sub(r"^params/", "", n)
+        m = re.match(r"up_(\d+)/(.*)", n)
+        if m:
+            n = f"up_blocks.{n_levels - 1 - int(m.group(1))}/{m.group(2)}"
+        n = re.sub(r"^core/down_(\d+)/", r"down_blocks.\1/", n)
+        n = n.replace("core/mid/", "mid_block/")
+        n = n.replace("core/conv_in/", "conv_in/")
+        n = re.sub(r"resnets_(\d+)/", r"resnets.\1/", n)
+        n = re.sub(r"attentions_(\d+)/", r"attentions.\1/", n)
+        n = re.sub(r"blocks_(\d+)/", r"transformer_blocks.\1/", n)
+        n = n.replace("downsample/conv/", "downsamplers.0/conv/")
+        n = n.replace("upsample/conv/", "upsamplers.0/conv/")
+        n = n.replace("ff/proj_in/", "ff.net.0.proj/")
+        n = n.replace("ff/proj_out/", "ff.net.2/")
+        n = n.replace("to_out/", "to_out.0/")
+        n = n.replace("/scale", "/weight").replace("/kernel", "/weight")
+        return n.replace("/", ".")
+
+    # synthesize a torch-layout checkpoint with DISTINCT values
+    rng = np.random.default_rng(0)
+    fake = {}
+    flat = dict(_flatten(params))
+
+    def unbox(x):
+        return getattr(x, "value", x)
+
+    for path, v in flat.items():
+        val = rng.normal(size=np.asarray(unbox(v)).shape).astype(np.float32)
+        t = val
+        if t.ndim == 4:
+            t = t.transpose(3, 2, 0, 1)   # HWIO -> OIHW
+        elif t.ndim == 2:
+            t = t.T
+        # safetensors writes raw buffers: non-contiguous views save wrong
+        fake[flax_to_diffusers(path)] = np.ascontiguousarray(t)
+    save_file(fake, str(tmp_path / "model.safetensors"))
+
+    tensors = _load_safetensors_dir(str(tmp_path))
+    converted = convert_sdxl_unet(tensors, n_levels)
+    grafted = graft_weights(params, converted, {}, "test")
+    gflat = dict(_flatten(grafted))
+    # every tensor landed, with the transposition undone
+    for path, v in flat.items():
+        t = fake[flax_to_diffusers(path)]
+        if t.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)
+        elif t.ndim == 2:
+            t = t.T
+        np.testing.assert_allclose(np.asarray(unbox(gflat[path])), t,
+                                   atol=0, err_msg="/".join(path))
+    # and the grafted model still runs
+    out = model.apply(grafted, jnp.ones((1, 8, 8, 4)), jnp.ones((1,)),
+                      jnp.ones((1, 8, cfg.context_dim)))
+    assert np.isfinite(np.asarray(out)).all()

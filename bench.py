@@ -1,17 +1,23 @@
 """End-to-end benchmark: objects/min/chip over the redwood set.
 
 Runs the full pipeline (depth prompting -> depth-conditioned generation ->
-image-to-3D -> fusion -> CD/EMD eval) with the model-free synthetic
-generative backends on one TPU chip, using the object-batched runner
-(genpc_tpu/parallel/batched_runner.py): stage-3 and the metrics are one
-vmapped device program over the whole object set.
+image-to-3D -> REGISTRATION -> fusion -> CD/EMD eval) with the model-free
+synthetic generative backends on one TPU chip, using the object-batched
+runner (genpc_tpu/parallel/batched_runner.py).
+
+The headline number runs the COMPLETE Stage 3: batched 4-start x 200-step
+differentiable pose optimization, the 11-scale coarse ICP sweep and the
+10^3 per-axis fine grid for every object (trust_aligned_completion=False)
+— the reference's full registration budget (reference: reg_xyz.py:111-191).
+The aligned-completion fast path (the reference pipeline skips registration
+when the generator output is already aligned) is reported in extras.
 
 Protocol: one full warm-up pass pays every compile (amortized across
 processes by the persistent compilation cache), then the timed pass runs
-the complete pipeline again from disk.  GT pairs whose world frame differs
-from the partial (e.g. 06830: partial-vs-GT CD*100 ≈ 292 before any
-processing) are excluded from the quality average but counted for
-throughput.  Prints exactly ONE JSON line to stdout; progress to stderr.
+the complete pipeline again from disk.  Objects whose GT lives in a
+different world frame than the partial are excluded from the quality
+average by an EXPLICIT list (not a threshold), but counted for throughput.
+Prints exactly ONE JSON line to stdout; progress to stderr.
 """
 
 from __future__ import annotations
@@ -23,6 +29,28 @@ import time
 
 import numpy as np
 
+# GT pairs excluded from quality averages, with the reason on record.
+# 06830's GT is in a different world frame than its partial: the raw
+# partial-vs-GT CD*100 is ~292 before any processing.
+EXCLUDED_FLAGS = {"06830": "GT world-frame mismatch (raw CD*100 ~ 292)"}
+
+TARGET_OBJ_PER_MIN = 5.0  # BASELINE.md: >=5 objects/min/chip on v5e-8
+
+
+def run_pass(cfg, flags, data_dir):
+    from genpc_tpu.parallel.batched_runner import run_batched
+    start = time.time()
+    results = run_batched(cfg, flags, data_dir, verbose=False)
+    return results, time.time() - start
+
+
+def quality(results):
+    inc = {f: m for f, m in results.items() if f not in EXCLUDED_FLAGS}
+    cds = [m["cd"] for m in inc.values()]
+    emds = [m["emd"] for m in inc.values() if "emd" in m]
+    return (round(float(np.mean(cds)) * 100, 3),
+            round(float(np.mean(emds)) * 100, 3) if emds else None)
+
 
 def main():
     data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
@@ -30,42 +58,68 @@ def main():
 
     from genpc_tpu.categories import REDWOOD_FLAGS
     from genpc_tpu.config import load_config
-    from genpc_tpu.parallel.batched_runner import run_batched
 
     flags = [f for f in REDWOOD_FLAGS
              if os.path.exists(os.path.join(data_dir, f"{f}.ply"))]
-    cfg = load_config(
-        output_path=out_dir, save=False,
-        control_model="synthetic", rembg_model="synthetic",
-        generative_model="synthetic")
+    base = dict(output_path=out_dir, save=False,
+                control_model="synthetic", rembg_model="synthetic",
+                generative_model="synthetic")
+    cfg_reg = load_config(trust_aligned_completion=False, **base)
+    cfg_fast = load_config(trust_aligned_completion=True, **base)
 
     t0 = time.time()
-    run_batched(cfg, flags, data_dir, verbose=False)
-    print(f"warm-up pass: {time.time()-t0:.1f}s", file=sys.stderr)
+    run_pass(cfg_reg, flags, data_dir)
+    print(f"warm-up (registration-on): {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
-    start = time.time()
-    results = run_batched(cfg, flags, data_dir, verbose=False)
-    wall = time.time() - start
-
-    aligned = {f: m for f, m in results.items() if m["cd"] < 0.5}
+    results, wall = run_pass(cfg_reg, flags, data_dir)
     for f, m in sorted(results.items()):
-        tag = "" if f in aligned else "  (GT frame mismatch, excluded)"
+        tag = ("  (excluded: " + EXCLUDED_FLAGS[f] + ")"
+               if f in EXCLUDED_FLAGS else "")
         print(f"{f}: CD*100={m['cd']*100:.3f}{tag}", file=sys.stderr)
+    cd_reg, emd_reg = quality(results)
+    opm_reg = len(flags) / wall * 60.0
 
-    objects_per_min = len(flags) / wall * 60.0
-    target = 5.0  # BASELINE.md: >=5 objects/min/chip on v5e-8 (per chip)
-    cds = [m["cd"] for m in aligned.values()]
-    emds = [m["emd"] for m in aligned.values() if "emd" in m]
+    t0 = time.time()
+    run_pass(cfg_fast, flags, data_dir)
+    print(f"warm-up (aligned fast path): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    results_fast, wall_fast = run_pass(cfg_fast, flags, data_dir)
+    cd_fast, emd_fast = quality(results_fast)
+    opm_fast = len(flags) / wall_fast * 60.0
+
+    # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50)
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.ops.emd import emd_auction
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 16384, 3)), jnp.float32)
+    y = jnp.asarray(rng.random((1, 16384, 3)), jnp.float32)
+    f = jax.jit(lambda a, b: emd_auction(a, b, eps=0.005, iters=50)[0])
+    jax.block_until_ready(f(x, y))                   # compile
+    t0 = time.time()
+    jax.block_until_ready(f(x, y))
+    emd_ms = (time.time() - t0) * 1000.0
+
     print(json.dumps({
-        "metric": "objects/min/chip end-to-end (synthetic backends, "
-                  "redwood, CD+EMD eval included, object-batched)",
-        "value": round(objects_per_min, 3),
+        "metric": "objects/min/chip end-to-end incl. full registration "
+                  "stack (synthetic backends, redwood, CD+EMD eval, "
+                  "object-batched)",
+        "value": round(opm_reg, 3),
         "unit": "objects/min/chip",
-        "vs_baseline": round(objects_per_min / target, 3),
-        "extra": {"avg_cd_x100": round(float(np.mean(cds)) * 100, 3),
-                  "avg_emd_x100": round(float(np.mean(emds)) * 100, 3)
-                  if emds else None,
-                  "objects": len(flags), "wall_s": round(wall, 1)},
+        "vs_baseline": round(opm_reg / TARGET_OBJ_PER_MIN, 3),
+        "extra": {
+            "avg_cd_x100": cd_reg, "avg_emd_x100": emd_reg,
+            "objects": len(flags), "wall_s": round(wall, 1),
+            "aligned_fast_path": {
+                "objects_per_min": round(opm_fast, 3),
+                "avg_cd_x100": cd_fast, "avg_emd_x100": emd_fast,
+                "wall_s": round(wall_fast, 1)},
+            "emd_16384_ms_per_call": round(emd_ms, 1),
+            "excluded": EXCLUDED_FLAGS,
+            "vs_baseline_note": "ratio vs the 5 obj/min/chip TARGET "
+                                "(no measured reference-GPU number exists)",
+        },
     }))
 
 

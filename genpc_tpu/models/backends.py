@@ -55,11 +55,14 @@ def get_image23d(name: str, cfg: Any = None):
     if name == "synthetic":
         return SyntheticImage23D(cfg)
     if name == "instantmesh":
-        from genpc_tpu.models.instantmesh import InstantMeshBackend
+        from genpc_tpu.models.lrm import InstantMeshBackend
         return InstantMeshBackend(cfg)
-    if name in ("trellis", "trellis_2", "sf3d", "hunyuan2.0"):
+    if name in ("trellis", "trellis_2"):
+        from genpc_tpu.models.trellis import TrellisBackend
+        return TrellisBackend(cfg, variant=name)
+    if name in ("sf3d", "hunyuan2.0"):
         raise NotImplementedError(
             f"generative_model {name!r}: the reference wraps an external "
-            f"checkout with no vendored weights; use 'instantmesh' "
-            f"(LRM port) or 'synthetic'")
+            f"checkout with no vendored weights; use 'instantmesh', "
+            f"'trellis' or 'synthetic'")
     raise ValueError(f"unknown generative_model {name!r}")

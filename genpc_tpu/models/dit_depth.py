@@ -139,3 +139,83 @@ class DiTDepthEdit:
         img = self._sample(self._params, jnp.asarray(d * 2 - 1)[None],
                            txt, txt_neg, k, steps, self.guidance)
         return np.asarray(img[0])
+
+
+class FluxInpainter:
+    """FLUX-based image inpainting (the reference's 'flux' depth inpainter).
+
+    Mirrors tools/painting_flux1dev.Painting_Flux.paint(image, mask, prompt,
+    size) (reference: DepthPrompting.py:21-24, 201-209): run the FLUX
+    rectified-flow sampler while compositing the known region back at each
+    step — re-noise the known latents to the current flow time and paste
+    them outside the hole (RePaint-style data consistency for flow models).
+    """
+
+    def __init__(self, cfg=None, seed: int = 0):
+        self.backend = DiTDepthEdit(cfg, variant="flux", seed=seed)
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _sample(self, params, known_img, mask_img, txt, rng, steps: int,
+                guidance: float):
+        be = self.backend
+        sched = FlowMatchEuler(steps)
+        known_lat = be.vae.apply(params["vae"], known_img,
+                                 method=AutoencoderKL.encode)
+        # latent-resolution hole mask: any hole pixel in the patch -> hole
+        f = be.factor
+        m = mask_img[0, :, :, 0]
+        h, w = m.shape
+        m_lat = m.reshape(h // f, f, w // f, f).max(axis=(1, 3))
+        m_lat = m_lat[None, :, :, None]
+        lat_shape = known_lat.shape[:3] + (be.dit_cfg.in_channels,)
+        rng, k = jax.random.split(rng)
+        noise = jax.random.normal(k, lat_shape)
+        latents = noise
+        g = jnp.full((1,), guidance, jnp.float32)
+        known_c = jnp.tile(known_lat, (1, 1, 1, -(-lat_shape[-1]
+                                                  // known_lat.shape[-1])
+                                       ))[..., :lat_shape[-1]]
+
+        def body(i, latents):
+            t = jnp.full((1,), sched.timesteps[i])
+            v = be.model.apply(params["dit"], latents, t, txt,
+                               cond_latents=known_lat, guidance=g)
+            latents = sched.step(v, i, latents)
+            # composite: outside the hole, keep the known latents re-noised
+            # to the NEXT step's time (x_t = (1-t)*x0 + t*noise for RF)
+            t_next = sched.t_next(i)
+            known_t = (1.0 - t_next) * known_c + t_next * noise
+            return jnp.where(m_lat > 0.5, latents, known_t)
+
+        latents = jax.lax.fori_loop(0, steps, body, latents)
+        img = be.vae.apply(params["vae"], latents,
+                           method=AutoencoderKL.decode)
+        img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.where(mask_img > 0.5, img, known_img / 2.0 + 0.5)
+
+    def paint(self, image, mask, prompt: str = "complete the depth map. ",
+              size: int = 256, steps: int = 30) -> np.ndarray:
+        """image [C,H,W] or [H,W,C] in [0,1]; mask [H,W]-ish, 1=hole."""
+        be = self.backend
+        x = np.asarray(image, np.float32)
+        chw = x.ndim == 3 and x.shape[0] in (1, 3)
+        if chw:
+            x = x.transpose(1, 2, 0)
+        m = np.asarray(mask, np.float32)
+        if m.ndim == 3:
+            m = m.max(axis=0) if m.shape[0] in (1, 3) else m.max(axis=-1)
+        hw = x.shape[0]
+        latent_hw = hw // be.factor
+        if be._params is None or be._latent_hw != latent_hw:
+            be._latent_hw = latent_hw
+            be._params = be._init_params(latent_hw)
+        txt, _ = be.prompt_encoder.encode(prompt)
+        if txt.shape[-1] != be.dit_cfg.text_dim:
+            reps = -(-be.dit_cfg.text_dim // txt.shape[-1])
+            txt = jnp.tile(txt, (1, 1, reps))[..., :be.dit_cfg.text_dim]
+        be.rng, k = jax.random.split(be.rng)
+        out = self._sample(be._params, jnp.asarray(x * 2 - 1)[None],
+                           jnp.asarray(m)[None, :, :, None], txt, k,
+                           steps, be.guidance)
+        out = np.asarray(out[0])
+        return out.transpose(2, 0, 1) if chw else out

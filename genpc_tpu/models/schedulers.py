@@ -111,6 +111,10 @@ class FlowMatchEuler:
     def scale_model_input(self, sample, i):
         return sample
 
+    def t_next(self, i):
+        """Flow time after step i (0.0 at the end of sampling)."""
+        return self.sigmas[i + 1]
+
     def step(self, velocity, i, sample, noise=None):
         dt = self.sigmas[i + 1] - self.sigmas[i]
         return sample + velocity * dt

@@ -223,6 +223,14 @@ def load_instantmesh(weights_dir: str, params):
     return params
 
 
+def load_trellis(weights_dir: str, params):
+    p = os.path.join(weights_dir, "trellis")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        params = graft_weights(params, tensors, _SDXL_RENAMES, "trellis")
+    return params
+
+
 def load_matting(weights_dir: str, params):
     p = os.path.join(weights_dir, "rmbg")
     if os.path.isdir(p):

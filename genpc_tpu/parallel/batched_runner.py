@@ -272,7 +272,7 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
         arts.append(ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx]))
     # stage 1: one jitted program over the whole batch
-    batched_stage1(cfg, arts, dp.viewpoints)
+    batched_stage1(cfg, arts, dp.viewpoints, dp=dp)
     from genpc_tpu.categories import get_category
     for art in arts:
         art.image = np.asarray(dp.depth2image.generate(
@@ -283,7 +283,11 @@ def run_batched(cfg, flags: List[str], data_dir: str,
     for i in range(0, len(arts), batch):
         batched_reg(cfg, arts[i:i + batch])
 
-    # batched metric (resample GT/pred to fixed sizes)
+    # batched metric: FPS from the FULL clouds (reference: main.py:21-22).
+    # Static shapes come from padding each cloud to the batch max by
+    # repeating its own points: duplicates never win an FPS argmax tie
+    # (the original has the lower index) and have distance 0 once their
+    # original is selected, so the selected set equals the full-cloud run.
     results: Dict[str, Dict[str, float]] = {}
     preds, gts, valid = [], [], []
     for art in arts:
@@ -291,14 +295,19 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         if not os.path.exists(gt_path):
             continue
         gt, _ = load_xyz(gt_path)
-        p, _ = resample_fixed(art.fused_xyz, 20000)
-        g, _ = resample_fixed(gt, 35000)
-        preds.append(p)
-        gts.append(g)
+        preds.append(np.asarray(art.fused_xyz, np.float32))
+        gts.append(np.asarray(gt, np.float32))
         valid.append(art.flag)
     if preds:
+        def pad_repeat(clouds):
+            n = max(len(c) for c in clouds)
+            return np.stack([np.concatenate(
+                [c, np.tile(c, (-(-n // len(c)) - 1, 1))[: n - len(c)]])
+                for c in clouds])
+        preds = pad_repeat(preds)
+        gts = pad_repeat(gts)
         cd, emd = batched_metric(
-            jnp.asarray(np.stack(preds)), jnp.asarray(np.stack(gts)),
+            jnp.asarray(preds), jnp.asarray(gts),
             num_points=int(cfg.metric_points),
             emd_eps=float(cfg.emd_eps), emd_iters=int(cfg.emd_iters),
             with_emd=with_emd)
@@ -386,7 +395,7 @@ def make_stage1_core(cfg, viewpoints: np.ndarray):
                 pixels, d_s, cols, res=res, point_size=point_size,
                 mask_pixel_rate=mask_rate, valid=vis_s)
             depth_img = diffusion_inpaint(raw, m1, iters=inpaint_iters)
-            return uv_s, view_s, raw, depth_img, m1
+            return uv_s, view_s, raw, depth_img, m1, m2
 
         return jax.vmap(per_object)(xyz, rgb, vp)
 
@@ -394,16 +403,35 @@ def make_stage1_core(cfg, viewpoints: np.ndarray):
 
 
 def batched_stage1(cfg, arts: List[ObjectArtifacts],
-                   viewpoints: np.ndarray, core=None) -> None:
-    """Run the jitted Stage-1 core over a batch; fill art fields."""
+                   viewpoints: np.ndarray, core=None,
+                   dp: Optional[DepthPrompting] = None) -> None:
+    """Run the jitted Stage-1 core over a batch; fill art fields.
+
+    The device core always computes the jax diffusion fill; for the
+    neural / host inpainter backends (flux, DDNM, cv2 — reference:
+    DepthPrompting.py:201-229) the per-object inpainter replaces it.
+    """
     core = core or make_stage1_core(cfg, viewpoints)
     xyz = jnp.asarray(np.stack([a.xyz for a in arts]), jnp.float32)
     rgb = jnp.asarray(np.stack([a.rgb for a in arts]), jnp.float32)
-    uv, vp, raw, depth, mask = core(xyz, rgb)
-    uv, vp, raw, depth, mask = map(np.asarray, (uv, vp, raw, depth, mask))
+    uv, vp, raw, depth, m1, m2 = core(xyz, rgb)
+    uv, vp, raw, depth, m1, m2 = map(np.asarray,
+                                     (uv, vp, raw, depth, m1, m2))
+    inpainter = cfg.get("inpainter", "jax")
     for i, art in enumerate(arts):
         art.point_uv = uv[i]
         art.viewpoint = vp[i]
         art.raw_depth = raw[i]
-        art.depth = depth[i]
-        art.mask = mask[i]
+        art.mask = m1[i] if inpainter != "DDNM" else m2[i]
+        if inpainter == "flux":
+            art.depth = np.asarray(dp.inpainter.paint(
+                raw[i], m1[i], prompt="complete the depth map. ",
+                size=int(cfg.res)))
+        elif inpainter == "DDNM":
+            art.depth = np.asarray(dp.inpainter.inpaint(raw[i], m2[i]))
+        elif inpainter == "cv2":
+            from genpc_tpu.render.inpaint import inpaint_image
+            art.depth = np.asarray(inpaint_image(raw[i], m1[i],
+                                                 backend="cv2"))
+        else:
+            art.depth = depth[i]

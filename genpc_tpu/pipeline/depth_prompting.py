@@ -51,6 +51,21 @@ class DepthPrompting:
         )
         self.depth2image = depth2image or get_depth2image(cfg.control_model, cfg)
         self.workspace = Workspace(cfg.output_path, cfg.generative_model)
+        # inpainter switch (reference: DepthPrompting.py:21-34 — flux /
+        # DDNM / cv2, anything else raises); 'jax' is this rebuild's
+        # device-native default
+        inpainter = cfg.get("inpainter", "jax")
+        if inpainter == "flux":
+            from genpc_tpu.models.dit_depth import FluxInpainter
+            self.inpainter = FluxInpainter(cfg)
+        elif inpainter == "DDNM":
+            from genpc_tpu.models.ddnm import DDNMInpainter
+            self.inpainter = DDNMInpainter(cfg)
+        elif inpainter in ("cv2", "jax"):
+            self.inpainter = None   # handled by render/inpaint.py dispatch
+        else:
+            raise NotImplementedError(
+                f"Inpainter {inpainter} not implemented.")
 
     # ------------------------------------------------------------------
     def viewpoint_select(self, xyz: np.ndarray) -> int:
@@ -110,12 +125,22 @@ class DepthPrompting:
             point_size=cfg.point_size, mask_pixel_rate=cfg.mask_pixel_rate,
             valid=jnp.asarray(visible))
 
-        # inpaint the splat ring holes
+        # inpaint the splat ring holes (reference dispatch:
+        # DepthPrompting.py:201-229 — flux paints mask1 with a text prompt,
+        # DDNM projects onto mask2 data consistency, cv2 uses INPAINT_NS)
         inpainter = cfg.get("inpainter", "jax")
         hole = m2 if inpainter == "DDNM" else m1
-        backend = "cv2" if inpainter == "cv2" else "jax"
-        depth_img = inpaint_image(raw_depth, hole, backend=backend,
-                                  iters=int(cfg.get("inpaint_iters", 250)))
+        if inpainter == "flux":
+            depth_img = jnp.asarray(self.inpainter.paint(
+                np.asarray(raw_depth), np.asarray(m1),
+                prompt="complete the depth map. ", size=cfg.res))
+        elif inpainter == "DDNM":
+            depth_img = jnp.asarray(self.inpainter.inpaint(
+                np.asarray(raw_depth), np.asarray(m2)))
+        else:
+            backend = "cv2" if inpainter == "cv2" else "jax"
+            depth_img = inpaint_image(raw_depth, hole, backend=backend,
+                                      iters=int(cfg.get("inpaint_iters", 250)))
 
         art.point_uv = np.asarray(uv)
         art.viewpoint = np.asarray(view)

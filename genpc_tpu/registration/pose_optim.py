@@ -121,18 +121,27 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
         }
         opt_state = tx.init(params)
 
+        # carry the best-loss PARAMS, not just the best loss: the
+        # reference keeps best_transformation over the trajectory
+        # (diff_obj_pose.py:547-567); returning the final params would
+        # ship a worse pose whenever the trajectory degrades late.
         def step(_, carry):
-            params, opt_state, best = carry
+            params, opt_state, best, best_params = carry
             loss, grads = jax.value_and_grad(pose_loss)(
                 params, vert_pos, vert_col, center, partial_xyz,
                 ref_img, ref_mask, camera, radius)
+            better = loss < best
+            best_params = jax.tree.map(
+                lambda bp, p: jnp.where(better, p, bp), best_params, params)
+            best = jnp.minimum(best, loss)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, jnp.minimum(best, loss)
+            return params, opt_state, best, best_params
 
-        params, _, best = jax.lax.fori_loop(
-            0, iters, step, (params, opt_state, jnp.float32(jnp.inf)))
-        return params, best
+        _, _, best, best_params = jax.lax.fori_loop(
+            0, iters, step, (params, opt_state, jnp.float32(jnp.inf),
+                             params))
+        return best_params, best
 
     return jax.vmap(one_start)(init_rots)
 

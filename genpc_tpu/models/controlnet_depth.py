@@ -60,7 +60,8 @@ class ControlNetDepth:
                                          cond_channels=cond_ch)
         self.vae = AutoencoderKL(self.vae_cfg)
         self.prompt_encoder = PromptEncoder(
-            "tiny" if size != "full" else "full")
+            "tiny" if size != "full" else "full",
+            weights_dir=(cfg.get("weights_dir") if cfg else None))
         self.rng = jax.random.PRNGKey(seed)
         self._params = None
         self._latent_hw = None
@@ -72,6 +73,8 @@ class ControlNetDepth:
         lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_cfg.in_channels))
         ctx = jnp.zeros((1, 77, ctx_dim))
         t = jnp.zeros((1,))
+        added = (jnp.zeros((1, self.unet_cfg.addition_embed_dim))
+                 if self.unet_cfg.addition_embed_dim else None)
         side = latent_hw * self.factor
         cond_img = jnp.zeros((1, side, side, 3))
         if self.adapter:
@@ -79,9 +82,10 @@ class ControlNetDepth:
                                              cond_img)
         else:
             cn_params = self.controlnet.init(
-                jax.random.fold_in(rng, 1), lat, t, ctx, cond_img)
+                jax.random.fold_in(rng, 1), lat, t, ctx, cond_img,
+                added_cond=added)
         params = {
-            "unet": self.unet.init(rng, lat, t, ctx),
+            "unet": self.unet.init(rng, lat, t, ctx, added_cond=added),
             "controlnet": cn_params,
             "vae": self.vae.init(jax.random.fold_in(rng, 2),
                                  jnp.zeros((1, side, side, 3))),
@@ -93,8 +97,18 @@ class ControlNetDepth:
         return params
 
     # ------------------------------------------------------------------
+    def _added_cond(self, pooled, size: int):
+        """SDXL micro-conditioning vector (diffusers _get_add_time_ids):
+        concat(pooled_text_embeds, sinusoidal(time_ids).flatten) with
+        time_ids = (orig_h, orig_w, crop_top, crop_left, tgt_h, tgt_w)."""
+        from genpc_tpu.models.layers import timestep_embedding
+        time_ids = jnp.asarray([size, size, 0, 0, size, size], jnp.float32)
+        time_emb = timestep_embedding(time_ids, 256).reshape(1, -1)
+        return jnp.concatenate([pooled, time_emb], axis=-1)
+
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _denoise(self, params, cond_img, context, context_neg, rng,
+    def _denoise(self, params, cond_img, context, context_neg,
+                 added_cond, added_cond_neg, rng,
                  steps: int = 30, guidance: float = 5.0,
                  control_scale: float = 1.0):
         sched = EulerAncestral(steps)
@@ -115,14 +129,18 @@ class ControlNetDepth:
             x_in = sched.scale_model_input(latents, i)
             if self.adapter:
                 eps_c = self.unet.apply(params["unet"], x_in, t, context,
+                                        added_cond=added_cond,
                                         adapter_features=adapter_feats)
             else:
                 mid_c, down_c = self.controlnet.apply(
                     params["controlnet"], x_in, t, context, cond_img,
+                    added_cond=added_cond,
                     conditioning_scale=control_scale)
                 eps_c = self.unet.apply(params["unet"], x_in, t, context,
+                                        added_cond=added_cond,
                                         control_residuals=(mid_c, down_c))
-            eps_u = self.unet.apply(params["unet"], x_in, t, context_neg)
+            eps_u = self.unet.apply(params["unet"], x_in, t, context_neg,
+                                    added_cond=added_cond_neg)
             eps = cfg_combine(eps_u, eps_c, guidance)
             noise = jax.random.normal(noise_keys[i], lat_shape)
             return sched.step(eps, i, latents, noise)
@@ -155,18 +173,21 @@ class ControlNetDepth:
 
         category = get_category(category_or_flag)
         prompt = POSITIVE_TEMPLATE.format(category=category)
-        ctx, _ = self.prompt_encoder.encode(prompt)
-        ctx_neg, _ = self.prompt_encoder.encode(NEGATIVE_PROMPT)
+        ctx, pooled = self.prompt_encoder.encode(prompt)
+        ctx_neg, pooled_neg = self.prompt_encoder.encode(NEGATIVE_PROMPT)
         # project two-tower context to the UNet context width if needed
         if ctx.shape[-1] != self.unet_cfg.context_dim:
             reps = -(-self.unet_cfg.context_dim // ctx.shape[-1])
             ctx = jnp.tile(ctx, (1, 1, reps))[..., :self.unet_cfg.context_dim]
             ctx_neg = jnp.tile(ctx_neg, (1, 1, reps))[
                 ..., :self.unet_cfg.context_dim]
+        added = self._added_cond(pooled, size)
+        added_neg = self._added_cond(pooled_neg, size)
 
         cond = jnp.asarray(d * 2.0 - 1.0)[None]
         self.rng, k = jax.random.split(self.rng)
-        img = self._denoise(self._params, cond, ctx, ctx_neg, k,
+        img = self._denoise(self._params, cond, ctx, ctx_neg,
+                            added, added_neg, k,
                             steps=num_inference_steps,
                             guidance=5.0,
                             control_scale=controlnet_conditioning_scale)

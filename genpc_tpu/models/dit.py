@@ -3,15 +3,27 @@
 The reference's preferred depth->image backends are DiT-family models
 driven through diffusers: Qwen-Image-Edit (reference: tools/qwen_depth.py —
 int4 transformer, 8-step lightning sampling, cfg 4.0) and FLUX.1-Depth-dev
-(reference: tools/flux_depth.py — guidance 10, 30 steps).  Both share the
-MMDiT shape: patchified image latents + text tokens, joint attention with
-per-stream adaptive layer-norm modulation ("double" blocks) followed by
-fused single-stream blocks, rectified-flow objective.
+(reference: tools/flux_depth.py — guidance 10, 30 steps).
 
-TPU-first: one token stream per modality, RoPE-free learned/sincos
-positions (static shapes), bf16 matmuls with fp32 norms, whole sampler a
-lax.fori_loop.  Depth conditioning follows the FLUX-Depth convention:
-control latents concatenated along channels with the noisy latents.
+The parameter tree here is ISOMORPHIC to the public diffusers
+implementations (FluxTransformer2DModel / QwenImageTransformer2DModel), so
+real checkpoints graft tensor-for-tensor (genpc_tpu/models/weights.py
+:convert_flux / :convert_qwen; the exact name inventory lives in
+genpc_tpu/models/checkpoint_specs.py and is round-trip-tested):
+  * double-stream blocks: separate img/txt QKV + output projections,
+    joint attention, AdaLN-zero modulation per stream (6 chunks), GELU-tanh
+    MLPs;
+  * FLUX additionally: 38 fused single-stream blocks (3-chunk AdaLN,
+    fused attention+MLP with proj_mlp/proj_out), distilled-guidance and
+    pooled-text embedders;
+  * Qwen additionally: RMS text-input norm, edit-image latents joined
+    along the token SEQUENCE (not channels);
+  * 3-axis RoPE on q/k per head (axes_dim summing to head_dim), learned
+    per-head-dim RMS q/k norms.
+
+TPU-first: bf16 matmuls with fp32 norms/modulation, static shapes, RoPE
+tables computed once per call from static token grids, whole sampler a
+lax.fori_loop (models/dit_depth.py).
 """
 
 from __future__ import annotations
@@ -22,8 +34,9 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from genpc_tpu.models.layers import timestep_embedding, tp_dense
+from genpc_tpu.models.layers import timestep_embedding
 
 
 @dataclass(frozen=True)
@@ -33,121 +46,217 @@ class DiTConfig:
     double_blocks: int = 19
     single_blocks: int = 38
     patch_size: int = 2
-    in_channels: int = 4          # latent channels
-    cond_channels: int = 4        # control latent channels (0 = none)
-    text_dim: int = 4096
+    in_channels: int = 16         # latent channels (FLUX VAE: 16)
+    cond_channels: int = 16       # control latent channels (0 = none)
+    text_dim: int = 4096          # T5-XXL (flux) / Qwen2.5-VL (3584)
+    pooled_dim: int = 768         # CLIP-L pooled (flux only)
     guidance_embed: bool = True   # FLUX distilled guidance conditioning
+    txt_input_norm: bool = False  # Qwen RMS-norms text features on input
+    cond_mode: str = "channels"   # 'channels' (flux) | 'sequence' (qwen)
+    axes_dim: Tuple[int, int, int] = (16, 56, 56)  # RoPE dims per axis
+    theta: int = 10000
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
 
     @classmethod
     def preset(cls, name: str) -> "DiTConfig":
         if name == "tiny":
             return cls(hidden_dim=64, num_heads=4, double_blocks=2,
-                       single_blocks=2, text_dim=64)
+                       single_blocks=2, in_channels=4, cond_channels=4,
+                       text_dim=64, pooled_dim=32, axes_dim=(4, 6, 6))
+        if name == "tiny_qwen":
+            return cls(hidden_dim=64, num_heads=4, double_blocks=2,
+                       single_blocks=0, in_channels=4, cond_channels=4,
+                       text_dim=64, pooled_dim=0, guidance_embed=False,
+                       txt_input_norm=True, cond_mode="sequence",
+                       axes_dim=(4, 6, 6))
         if name == "flux":
+            # FLUX.1-Depth-dev: x_embedder in = 2*2*(16+16) = 128
             return cls()
         if name == "qwen":
+            # Qwen-Image-Edit: 60 double blocks, no single stream
             return cls(hidden_dim=3072, num_heads=24, double_blocks=60,
-                       single_blocks=0, text_dim=3584, guidance_embed=False)
+                       single_blocks=0, text_dim=3584, pooled_dim=0,
+                       guidance_embed=False, txt_input_norm=True,
+                       cond_mode="sequence")
         raise ValueError(name)
 
 
-class Modulation(nn.Module):
-    """AdaLN modulation: vec -> (shift, scale, gate) per sub-layer."""
+class TimestepEmbedder(nn.Module):
+    """diffusers TimestepEmbedding: linear_1 -> silu -> linear_2."""
     dim: int
-    n: int
 
     @nn.compact
-    def __call__(self, vec):
-        # trained checkpoints use adaLN-zero; a small random init keeps the
-        # randomly-initialized architecture exercisable (gates nonzero)
-        out = nn.Dense(self.dim * 3 * self.n, dtype=jnp.bfloat16,
-                       kernel_init=nn.initializers.normal(0.02),
-                       name="lin")(nn.silu(vec))
-        return jnp.split(out[:, None, :], 3 * self.n, axis=-1)
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=jnp.bfloat16, name="linear_1")(x)
+        return nn.Dense(self.dim, dtype=jnp.bfloat16,
+                        name="linear_2")(nn.silu(x))
 
 
-def _attn(q, k, v, heads):
-    dh = q.shape[-1] // heads
-    split = lambda a: a.reshape(*a.shape[:-1], heads, dh)
-    out = jax.nn.dot_product_attention(split(q), split(k), split(v))
-    return out.reshape(*q.shape)
+class RMSNorm(nn.Module):
+    """RMS norm with a learned scale (diffusers RMSNorm / qk-norm)."""
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        n = jax.lax.rsqrt(jnp.mean(
+            x.astype(jnp.float32) ** 2, -1, keepdims=True) + self.eps)
+        return (x.astype(jnp.float32) * n * scale).astype(x.dtype)
 
 
-def _qknorm(q, k, dh):
-    """RMS-normalize q/k per head (FLUX/Qwen stabilization)."""
-    def rms(a):
-        a2 = a.reshape(*a.shape[:-1], -1, dh)
-        n = jax.lax.rsqrt(jnp.mean(a2.astype(jnp.float32) ** 2, -1,
-                                   keepdims=True) + 1e-6)
-        return (a2 * n).reshape(*a.shape).astype(a.dtype)
-    return rms(q), rms(k)
+# ----------------------------------------------------------------- RoPE
+
+def rope_table(ids: jnp.ndarray, axes_dim: Tuple[int, ...], theta: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ids [T,3] -> (cos, sin) each [T, head_dim//2] (pairwise rotation).
+
+    The FLUX-family 3-axis rotary embedding: each position axis gets
+    axes_dim[a]//2 frequencies, concatenated along the feature dim.
+    """
+    cos_parts, sin_parts = [], []
+    for a, d in enumerate(axes_dim):
+        half = d // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
+                                 * 2.0 / d))
+        ang = ids[:, a:a + 1].astype(jnp.float32) * freqs[None, :]
+        cos_parts.append(jnp.cos(ang))
+        sin_parts.append(jnp.sin(ang))
+    return jnp.concatenate(cos_parts, -1), jnp.concatenate(sin_parts, -1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+               ) -> jnp.ndarray:
+    """x [B,T,H,D] with D even; rotate consecutive pairs by (cos,sin) [T,D/2]."""
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., 0::2]
+    x2 = xf[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    r1 = x1 * c - x2 * s
+    r2 = x1 * s + x2 * c
+    out = jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, heads, cos, sin):
+    """q/k/v [B,T,dim] -> joint attention with RoPE; returns [B,T,dim]."""
+    b, t, d = q.shape
+    dh = d // heads
+    split = lambda a: a.reshape(b, t, heads, dh)
+    q, k, v = split(q), split(k), split(v)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = jax.nn.dot_product_attention(q, k, v)
+    return out.reshape(b, t, d)
+
+
+def _gelu_tanh(x):
+    return nn.gelu(x, approximate=True)
 
 
 class DoubleBlock(nn.Module):
-    """Two-stream MMDiT block: separate img/txt params, joint attention."""
+    """Two-stream MMDiT block (diffusers FluxTransformerBlock /
+    QwenImageTransformerBlock): joint attention over [txt, img], AdaLN-zero
+    per stream."""
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec):
+    def __call__(self, img, txt, vec, cos, sin):
         cfg = self.cfg
         d = cfg.hidden_dim
-        (i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2) = Modulation(
-            d, 2, name="img_mod")(vec)
-        (t_s1, t_sc1, t_g1, t_s2, t_sc2, t_g2) = Modulation(
-            d, 2, name="txt_mod")(vec)
+        dh = cfg.head_dim
+
+        def modulation(name):
+            out = nn.Dense(6 * d, dtype=jnp.float32, name=name)(
+                nn.silu(vec.astype(jnp.float32)))
+            return jnp.split(out[:, None, :], 6, axis=-1)
+
+        (i_shift, i_scale, i_gate,
+         i_shift2, i_scale2, i_gate2) = modulation("img_mod")
+        (t_shift, t_scale, t_gate,
+         t_shift2, t_scale2, t_gate2) = modulation("txt_mod")
 
         def ln(x):
             return nn.LayerNorm(use_bias=False, use_scale=False,
                                 dtype=jnp.float32)(x)
 
-        img_n = ln(img) * (1 + i_sc1) + i_s1
-        txt_n = ln(txt) * (1 + t_sc1) + t_s1
-        qi = tp_dense(d, name="img_q")(img_n)
-        ki = tp_dense(d, name="img_k")(img_n)
-        vi = tp_dense(d, name="img_v")(img_n)
-        qt = tp_dense(d, name="txt_q")(txt_n)
-        kt = tp_dense(d, name="txt_k")(txt_n)
-        vt = tp_dense(d, name="txt_v")(txt_n)
-        dh = d // cfg.num_heads
-        qi, ki = _qknorm(qi, ki, dh)
-        qt, kt = _qknorm(qt, kt, dh)
+        img_n = ln(img) * (1 + i_scale) + i_shift
+        txt_n = ln(txt) * (1 + t_scale) + t_shift
+        dense = lambda n: nn.Dense(d, dtype=jnp.bfloat16, name=n)
+        qi = dense("attn_img_q")(img_n)
+        ki = dense("attn_img_k")(img_n)
+        vi = dense("attn_img_v")(img_n)
+        qt = dense("attn_txt_q")(txt_n)
+        kt = dense("attn_txt_k")(txt_n)
+        vt = dense("attn_txt_v")(txt_n)
+
+        def headnorm(x, name):
+            b, t, _ = x.shape
+            h = x.reshape(b, t, cfg.num_heads, dh)
+            h = RMSNorm(dh, name=name)(h)
+            return h.reshape(b, t, d)
+
+        qi = headnorm(qi, "attn_norm_q")
+        ki = headnorm(ki, "attn_norm_k")
+        qt = headnorm(qt, "attn_norm_added_q")
+        kt = headnorm(kt, "attn_norm_added_k")
+
+        lt = txt.shape[1]
         q = jnp.concatenate([qt, qi], axis=1)
         k = jnp.concatenate([kt, ki], axis=1)
         v = jnp.concatenate([vt, vi], axis=1)
-        att = _attn(q, k, v, cfg.num_heads)
-        att_t, att_i = att[:, :txt.shape[1]], att[:, txt.shape[1]:]
-        img = img + i_g1 * tp_dense(d, name="img_proj", shard="in")(att_i)
-        txt = txt + t_g1 * tp_dense(d, name="txt_proj", shard="in")(att_t)
+        att = _attention(q, k, v, cfg.num_heads, cos, sin)
+        att_t, att_i = att[:, :lt], att[:, lt:]
+        img = img + i_gate * dense("attn_img_out")(att_i)
+        txt = txt + t_gate * dense("attn_txt_out")(att_t)
 
-        img_n = ln(img) * (1 + i_sc2) + i_s2
-        h = tp_dense(d * 4, name="img_mlp_in")(img_n)
-        img = img + i_g2 * tp_dense(d, name="img_mlp_out", shard="in")(
-            nn.gelu(h))
-        txt_n = ln(txt) * (1 + t_sc2) + t_s2
-        h = tp_dense(d * 4, name="txt_mlp_in")(txt_n)
-        txt = txt + t_g2 * tp_dense(d, name="txt_mlp_out", shard="in")(
-            nn.gelu(h))
+        img_n = ln(img) * (1 + i_scale2) + i_shift2
+        h = nn.Dense(4 * d, dtype=jnp.bfloat16, name="img_mlp_in")(img_n)
+        img = img + i_gate2 * nn.Dense(d, dtype=jnp.bfloat16,
+                                       name="img_mlp_out")(_gelu_tanh(h))
+        txt_n = ln(txt) * (1 + t_scale2) + t_shift2
+        h = nn.Dense(4 * d, dtype=jnp.bfloat16, name="txt_mlp_in")(txt_n)
+        txt = txt + t_gate2 * nn.Dense(d, dtype=jnp.bfloat16,
+                                       name="txt_mlp_out")(_gelu_tanh(h))
         return img, txt
 
 
 class SingleBlock(nn.Module):
-    """Fused single-stream block over the concatenated sequence (FLUX)."""
+    """Fused single-stream block (diffusers FluxSingleTransformerBlock):
+    parallel attention + MLP, one output projection, 3-chunk AdaLN."""
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, vec):
+    def __call__(self, x, vec, cos, sin):
         cfg = self.cfg
         d = cfg.hidden_dim
-        (s, sc, g) = Modulation(d, 1, name="mod")(vec)
+        mod = nn.Dense(3 * d, dtype=jnp.float32, name="mod")(
+            nn.silu(vec.astype(jnp.float32)))
+        shift, scale, gate = jnp.split(mod[:, None, :], 3, axis=-1)
         xn = nn.LayerNorm(use_bias=False, use_scale=False,
-                          dtype=jnp.float32)(x) * (1 + sc) + s
-        qkv_mlp = tp_dense(d * 3 + d * 4, name="lin1")(xn)
-        q, k, v, h = jnp.split(qkv_mlp, [d, 2 * d, 3 * d], axis=-1)
-        q, k = _qknorm(q, k, d // cfg.num_heads)
-        att = _attn(q, k, v, cfg.num_heads)
-        out = tp_dense(d, name="lin2", shard="in")(
-            jnp.concatenate([att, nn.gelu(h)], axis=-1))
-        return x + g * out
+                          dtype=jnp.float32)(x) * (1 + scale) + shift
+        q = nn.Dense(d, dtype=jnp.bfloat16, name="to_q")(xn)
+        k = nn.Dense(d, dtype=jnp.bfloat16, name="to_k")(xn)
+        v = nn.Dense(d, dtype=jnp.bfloat16, name="to_v")(xn)
+        dh = cfg.head_dim
+        b, t, _ = q.shape
+
+        def headnorm(a, name):
+            h = a.reshape(b, t, cfg.num_heads, dh)
+            return RMSNorm(dh, name=name)(h).reshape(b, t, d)
+
+        q = headnorm(q, "norm_q")
+        k = headnorm(k, "norm_k")
+        att = _attention(q, k, v, cfg.num_heads, cos, sin)
+        mlp = _gelu_tanh(nn.Dense(4 * d, dtype=jnp.bfloat16,
+                                  name="proj_mlp")(xn))
+        out = nn.Dense(d, dtype=jnp.bfloat16, name="proj_out")(
+            jnp.concatenate([att, mlp], axis=-1))
+        return x + gate * out
 
 
 class MMDiT(nn.Module):
@@ -158,47 +267,83 @@ class MMDiT(nn.Module):
                  guidance=None):
         """latents [B,H,W,C]; t [B] in [0,1]; txt [B,L,text_dim].
 
-        Returns the predicted velocity with the latents' shape.
+        cond_latents [B,H,W,Cc] join per cfg.cond_mode: 'channels'
+        (FLUX-Depth channel concat) or 'sequence' (Qwen-Image-Edit token
+        concat).  Returns the predicted velocity with latents' shape.
         """
         cfg = self.cfg
         b, h, w, c = latents.shape
         p = cfg.patch_size
-        x = latents
-        if cond_latents is not None:
-            x = jnp.concatenate([x, cond_latents], axis=-1)
-        # patchify
-        x = x.reshape(b, h // p, p, w // p, p, x.shape[-1])
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, (h // p) * (w // p), p * p * x.shape[-1])
-        img = tp_dense(cfg.hidden_dim, name="img_in")(x)
-        pos = self.param("img_pos", nn.initializers.normal(0.02),
-                         (1, img.shape[1], cfg.hidden_dim))
-        img = img + pos
-        txt_tok = tp_dense(cfg.hidden_dim, name="txt_in")(txt)
 
-        vec = nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16, name="time_in")(
+        def patchify(x):
+            ch = x.shape[-1]
+            x = x.reshape(b, h // p, p, w // p, p, ch)
+            return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, (h // p) * (w // p), p * p * ch)
+
+        x = latents
+        seq_cond = None
+        if cond_latents is not None:
+            if cfg.cond_mode == "channels":
+                x = jnp.concatenate([x, cond_latents], axis=-1)
+            else:
+                seq_cond = patchify(cond_latents)
+        x = patchify(x)
+        n_img = x.shape[1]
+        if seq_cond is not None:
+            x = jnp.concatenate([x, seq_cond], axis=1)
+        img = nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16, name="img_in")(x)
+
+        if cfg.txt_input_norm:
+            txt = RMSNorm(cfg.text_dim, name="txt_norm")(txt)
+        txt_tok = nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16,
+                           name="txt_in")(txt)
+
+        vec = TimestepEmbedder(cfg.hidden_dim, name="time_embed")(
             timestep_embedding(t * 1000.0, 256))
-        if pooled is not None:
-            vec = vec + nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16,
-                                 name="vector_in")(pooled)
+        if pooled is not None and cfg.pooled_dim:
+            vec = vec + TimestepEmbedder(cfg.hidden_dim,
+                                         name="pooled_embed")(pooled)
         if cfg.guidance_embed and guidance is not None:
-            vec = vec + nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16,
-                                 name="guidance_in")(
+            vec = vec + TimestepEmbedder(cfg.hidden_dim,
+                                         name="guidance_embed")(
                 timestep_embedding(guidance * 1000.0, 256))
 
+        # RoPE ids: text at axis-0 positions (0 for flux, sequence index
+        # for qwen), image patches at (y, x); sequence-joined edit tokens
+        # reuse the image grid positions
+        gy, gx = jnp.meshgrid(jnp.arange(h // p), jnp.arange(w // p),
+                              indexing="ij")
+        img_ids = jnp.stack([jnp.zeros_like(gy).ravel(), gy.ravel(),
+                             gx.ravel()], axis=-1)
+        if seq_cond is not None:
+            img_ids = jnp.concatenate([img_ids, img_ids], axis=0)
+        lt = txt_tok.shape[1]
+        t_axis0 = (jnp.arange(lt) if cfg.cond_mode == "sequence"
+                   else jnp.zeros(lt, jnp.int32))
+        txt_ids = jnp.stack([t_axis0, jnp.zeros(lt, jnp.int32),
+                             jnp.zeros(lt, jnp.int32)], axis=-1)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        cos, sin = rope_table(ids, cfg.axes_dim, cfg.theta)
+
         for i in range(cfg.double_blocks):
-            img, txt_tok = DoubleBlock(cfg, name=f"double_{i}")(img, txt_tok,
-                                                                vec)
+            img, txt_tok = DoubleBlock(cfg, name=f"double_{i}")(
+                img, txt_tok, vec, cos, sin)
         if cfg.single_blocks:
             seq = jnp.concatenate([txt_tok, img], axis=1)
             for i in range(cfg.single_blocks):
-                seq = SingleBlock(cfg, name=f"single_{i}")(seq, vec)
-            img = seq[:, txt_tok.shape[1]:]
+                seq = SingleBlock(cfg, name=f"single_{i}")(seq, vec, cos,
+                                                           sin)
+            img = seq[:, lt:]
 
+        img = img[:, :n_img]
         img = nn.LayerNorm(use_bias=False, use_scale=False,
                            dtype=jnp.float32, name="norm_out")(img)
-        (s, sc, _) = Modulation(cfg.hidden_dim, 1, name="mod_out")(vec)
-        img = img * (1 + sc) + s
+        # AdaLayerNormContinuous: linear -> (scale, shift) 2 chunks
+        mod = nn.Dense(2 * cfg.hidden_dim, dtype=jnp.float32,
+                       name="norm_out_mod")(nn.silu(vec.astype(jnp.float32)))
+        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+        img = img * (1 + scale) + shift
         out = nn.Dense(p * p * cfg.in_channels, dtype=jnp.float32,
                        name="proj_out")(img)
         out = out.reshape(b, h // p, w // p, p, p, cfg.in_channels)

@@ -44,8 +44,12 @@ class DiTDepthEdit:
         self.cfg = cfg or {}
         self.variant = variant
         size = (cfg.get("model_size", "tiny") if cfg else "tiny")
-        self.dit_cfg = DiTConfig.preset(variant if size == "full" else "tiny")
-        self.vae_cfg = VAEConfig.preset("tiny" if size != "full" else "full")
+        if size == "full":
+            self.dit_cfg = DiTConfig.preset(variant)
+        else:
+            self.dit_cfg = DiTConfig.preset(
+                "tiny_qwen" if variant == "qwen" else "tiny")
+        self.vae_cfg = VAEConfig.preset("tiny" if size != "full" else "flux")
         self.factor = self.vae_cfg.spatial_factor
         self.model = MMDiT(self.dit_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
@@ -64,10 +68,12 @@ class DiTDepthEdit:
         cond = jnp.zeros((1, latent_hw, latent_hw,
                           self.dit_cfg.cond_channels))
         txt = jnp.zeros((1, 77, self.dit_cfg.text_dim))
+        pooled = (jnp.zeros((1, self.dit_cfg.pooled_dim))
+                  if self.dit_cfg.pooled_dim else None)
         side = latent_hw * self.factor
         params = {
             "dit": self.model.init(rng, lat, jnp.zeros((1,)), txt,
-                                   pooled=None, cond_latents=cond,
+                                   pooled=pooled, cond_latents=cond,
                                    guidance=jnp.ones((1,))),
             "vae": self.vae.init(jax.random.fold_in(rng, 1),
                                  jnp.zeros((1, side, side, 3))),
@@ -78,12 +84,20 @@ class DiTDepthEdit:
             params = load_dit(weights_dir, params, self.variant)
         return params
 
+    def _tile_channels(self, lat, channels: int):
+        """Tile VAE latents to the transformer's conditioning width."""
+        c = lat.shape[-1]
+        if c == channels:
+            return lat
+        return jnp.tile(lat, (1, 1, 1, -(-channels // c)))[..., :channels]
+
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample(self, params, cond_img, txt, txt_neg, rng,
+    def _sample(self, params, cond_img, txt, txt_neg, pooled, rng,
                 steps: int, guidance: float):
         sched = FlowMatchEuler(steps)
         cond_lat = self.vae.apply(params["vae"], cond_img,
                                   method=AutoencoderKL.encode)
+        cond_lat = self._tile_channels(cond_lat, self.dit_cfg.cond_channels)
         lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
         latents = jax.random.normal(rng, lat_shape)
         g = jnp.full((1,), guidance, jnp.float32)
@@ -91,10 +105,12 @@ class DiTDepthEdit:
         def body(i, latents):
             t = jnp.full((1,), sched.timesteps[i])
             v_c = self.model.apply(params["dit"], latents, t, txt,
-                                   cond_latents=cond_lat, guidance=g)
+                                   pooled=pooled, cond_latents=cond_lat,
+                                   guidance=g)
             if self.variant == "qwen":   # true CFG (reference cfg 4.0)
                 v_u = self.model.apply(params["dit"], latents, t, txt_neg,
-                                       cond_latents=cond_lat, guidance=g)
+                                       pooled=pooled, cond_latents=cond_lat,
+                                       guidance=g)
                 v = cfg_combine(v_u, v_c, guidance)
             else:                        # flux: distilled guidance only
                 v = v_c
@@ -125,7 +141,7 @@ class DiTDepthEdit:
             self._params = self._init_params(latent_hw)
 
         category = get_category(category_or_flag)
-        txt, _ = self.prompt_encoder.encode(
+        txt, pooled = self.prompt_encoder.encode(
             QWEN_PROMPT.format(category=category))
         txt_neg, _ = self.prompt_encoder.encode(" ")
         if txt.shape[-1] != self.dit_cfg.text_dim:
@@ -133,11 +149,17 @@ class DiTDepthEdit:
             txt = jnp.tile(txt, (1, 1, reps))[..., :self.dit_cfg.text_dim]
             txt_neg = jnp.tile(txt_neg, (1, 1, reps))[
                 ..., :self.dit_cfg.text_dim]
+        if self.dit_cfg.pooled_dim:
+            pd = self.dit_cfg.pooled_dim
+            reps = -(-pd // pooled.shape[-1])
+            pooled = jnp.tile(pooled, (1, reps))[..., :pd]
+        else:
+            pooled = None
 
         steps = num_inference_steps or self.steps
         self.rng, k = jax.random.split(self.rng)
         img = self._sample(self._params, jnp.asarray(d * 2 - 1)[None],
-                           txt, txt_neg, k, steps, self.guidance)
+                           txt, txt_neg, pooled, k, steps, self.guidance)
         return np.asarray(img[0])
 
 
@@ -161,6 +183,7 @@ class FluxInpainter:
         sched = FlowMatchEuler(steps)
         known_lat = be.vae.apply(params["vae"], known_img,
                                  method=AutoencoderKL.encode)
+        cond_lat = be._tile_channels(known_lat, be.dit_cfg.cond_channels)
         # latent-resolution hole mask: any hole pixel in the patch -> hole
         f = be.factor
         m = mask_img[0, :, :, 0]
@@ -179,7 +202,7 @@ class FluxInpainter:
         def body(i, latents):
             t = jnp.full((1,), sched.timesteps[i])
             v = be.model.apply(params["dit"], latents, t, txt,
-                               cond_latents=known_lat, guidance=g)
+                               cond_latents=cond_lat, guidance=g)
             latents = sched.step(v, i, latents)
             # composite: outside the hole, keep the known latents re-noised
             # to the NEXT step's time (x_t = (1-t)*x0 + t*noise for RF)

@@ -38,6 +38,7 @@ class UNetConfig:
     attention_head_dim: int = 64
     addition_embed_dim: int = 0      # SDXL micro-conditioning (2816)
     time_embed_dim: Optional[int] = None
+    mid_depth: Optional[int] = None  # None -> transformer_depths[-1]
 
     @property
     def temb_dim(self) -> int:
@@ -46,10 +47,12 @@ class UNetConfig:
     @classmethod
     def preset(cls, name: str) -> "UNetConfig":
         if name == "tiny":
+            # addition_embed_dim = tiny pooled (64) + 6 x 256 time-id
+            # sinusoids, so tiny tests exercise the SDXL micro-conditioning
             return cls(block_out_channels=(32, 64),
                        layers_per_block=1, transformer_depths=(0, 1),
                        context_dim=64, attention_head_dim=16,
-                       addition_embed_dim=0)
+                       addition_embed_dim=64 + 6 * 256)
         if name == "base":   # SD-1.5 class
             return cls(block_out_channels=(320, 640, 1280, 1280),
                        layers_per_block=2,
@@ -60,6 +63,15 @@ class UNetConfig:
                        layers_per_block=2, transformer_depths=(0, 2, 10),
                        context_dim=2048, attention_head_dim=64,
                        addition_embed_dim=2816)
+        if name == "sd2":
+            # zero123plus v1.2 backbone (SD-2.1 class): 4 levels, last
+            # down block attention-free, attention mid block, 1024-d
+            # context (reference: tools/instantmesh.py:83-98 loads the
+            # InstantMesh white-background UNet into this layout)
+            return cls(block_out_channels=(320, 640, 1280, 1280),
+                       layers_per_block=2,
+                       transformer_depths=(1, 1, 1, 0), mid_depth=1,
+                       context_dim=1024, attention_head_dim=64)
         raise ValueError(name)
 
 
@@ -151,8 +163,10 @@ class UNetCore(nn.Module):
                 cfg, ch, cfg.transformer_depths[level],
                 add_downsample=not last, name=f"down_{level}")(x, temb, context)
             skips += s
+        mid_depth = (cfg.mid_depth if cfg.mid_depth is not None
+                     else cfg.transformer_depths[-1])
         x = MidBlock(cfg, cfg.block_out_channels[-1],
-                     cfg.transformer_depths[-1], name="mid")(x, temb, context)
+                     mid_depth, name="mid")(x, temb, context)
         return x, skips
 
 
@@ -219,7 +233,10 @@ class ControlNetConditioningEmbedding(nn.Module):
                         padding=1, dtype=jnp.bfloat16,
                         name=f"blocks_{2*i+1}")(x)
             x = nn.silu(x)
-        return ZeroConv(self.out_channels, name="conv_out")(x)
+        # diffusers zero_module(Conv2d(..., kernel_size=3)) — 3x3, zeroed
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                       name="conv_out")(x)
 
 
 class ZeroConv(nn.Module):

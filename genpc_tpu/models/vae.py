@@ -32,8 +32,13 @@ class VAEConfig:
     @classmethod
     def preset(cls, name: str) -> "VAEConfig":
         if name == "tiny":
-            return cls(block_out_channels=(32, 64), layers_per_block=1,
-                       scaling_factor=0.13025)
+            # keep the real ÷8 spatial factor: at generate_res 512 a ÷2
+            # factor would give 65k-token attention maps (HBM OOM)
+            return cls(block_out_channels=(32, 32, 64, 64),
+                       layers_per_block=1, scaling_factor=0.13025)
+        if name == "flux":
+            # FLUX/Qwen-family 16-channel VAE
+            return cls(latent_channels=16, scaling_factor=0.3611)
         return cls()
 
 

@@ -44,8 +44,11 @@ def _flatten(tree, prefix=()):
 def _torch_to_flax(name: str, tensor: np.ndarray,
                    flax_shape: Tuple[int, ...]) -> np.ndarray:
     t = tensor
-    if t.ndim == 4 and len(flax_shape) == 4:       # conv OIHW -> HWIO
-        t = t.transpose(2, 3, 1, 0)
+    if t.ndim == 4 and len(flax_shape) == 4:
+        cand = t.transpose(2, 3, 1, 0)             # conv OIHW -> HWIO
+        if cand.shape != tuple(flax_shape):
+            cand = t.transpose(2, 3, 0, 1)         # deconv IOHW -> HWIO
+        t = cand
     elif t.ndim == 2 and len(flax_shape) == 2 and t.shape[::-1] == tuple(
             flax_shape):
         t = t.T
@@ -58,11 +61,16 @@ def _unbox(leaf):
 
 
 def graft_weights(params, torch_tensors: Dict[str, np.ndarray],
-                  rename: Dict[str, str], label: str):
+                  rename: Dict[str, str], label: str,
+                  strict: bool = False):
     """Copy matching tensors into the flax tree; report coverage.
 
     Logical-partitioning boxes (nn.with_logical_partitioning) are
     preserved: values graft inside the box so sharding metadata survives.
+    strict=True raises on ANY unmatched/misshapen tensor instead of
+    printing — real-checkpoint loads must never partially graft silently
+    (VERDICT r1: the placeholder tables grafted ~0 tensors and only
+    printed the misses).
     """
     flat = dict(_flatten(params))
     hits, misses = 0, []
@@ -78,7 +86,14 @@ def graft_weights(params, torch_tensors: Dict[str, np.ndarray],
                     new[fname].dtype)
                 hits += 1
                 continue
+            misses.append(f"{tname} (shape {tensor.shape} vs flax "
+                          f"{new[fname].shape})")
+            continue
         misses.append(tname)
+    if strict and misses:
+        raise ValueError(
+            f"[weights:{label}] {len(misses)}/{len(torch_tensors)} tensors "
+            f"failed to graft; first: {misses[:8]}")
     print(f"[weights:{label}] grafted {hits}/{len(torch_tensors)} tensors"
           + (f"; first misses: {misses[:5]}" if misses else ""))
 
@@ -100,6 +115,181 @@ _SDXL_RENAMES = {
     r"\.bias$": "/bias",
     r"\.": "/",
 }
+
+
+# ------------------------------------------------- spec-based test tools
+
+def tree_shapes(params) -> Dict[str, Tuple[int, ...]]:
+    """Flatten a flax tree (or jax.eval_shape result) to path -> shape."""
+    return {"/".join(p): tuple(_unbox(v).shape)
+            for p, v in _flatten(params)}
+
+
+def converted_shape(torch_shape: Tuple[int, ...],
+                    flax_shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Shape-level twin of _torch_to_flax's layout transform."""
+    t = tuple(torch_shape)
+    if len(t) == 4 and len(flax_shape) == 4:
+        cand = (t[2], t[3], t[1], t[0])             # conv OIHW -> HWIO
+        if cand != tuple(flax_shape):
+            cand = (t[2], t[3], t[0], t[1])         # deconv IOHW -> HWIO
+        return cand
+    if len(t) == 2 and len(flax_shape) == 2 and t[::-1] == tuple(flax_shape):
+        return t[::-1]
+    return t
+
+
+def synthetic_checkpoint(spec: Dict[str, Tuple[int, ...]], seed: int = 0
+                         ) -> Dict[str, np.ndarray]:
+    """Random tensors with the real checkpoint's names and shapes."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for k, s in spec.items():
+        t = rng.normal(scale=0.02, size=s).astype(np.float32)
+        if k.endswith("running_var"):      # variances must be positive
+            t = np.abs(t) + 1.0
+        out[k] = t
+    return out
+
+
+def verify_spec_coverage(param_shapes: Dict[str, Tuple[int, ...]],
+                         converted: Dict[str, Tuple[int, ...]]):
+    """Bidirectional check: spec->tree and tree->spec.
+
+    converted: flax path -> torch shape (after name conversion).  Returns
+    (missing_in_tree, shape_mismatches, uncovered_tree_params); all three
+    empty means a real checkpoint will graft 100% with nothing left
+    uninitialized.
+    """
+    missing, mismatched = [], []
+    for path, tshape in converted.items():
+        if path not in param_shapes:
+            missing.append(path)
+        elif converted_shape(tshape, param_shapes[path]) != \
+                param_shapes[path]:
+            mismatched.append((path, tshape, param_shapes[path]))
+    uncovered = [p for p in param_shapes if p not in converted]
+    return missing, mismatched, uncovered
+
+
+# ------------------------------------------------------- FLUX/Qwen MMDiT
+
+def flux_name_to_flax(name: str) -> str:
+    """diffusers FluxTransformer2DModel parameter name -> our flax path
+    (models/dit.py MMDiT; inventory: checkpoint_specs.spec_flux_transformer).
+    """
+    n = name
+    n = re.sub(r"^x_embedder\.", "img_in.", n)
+    n = re.sub(r"^context_embedder\.", "txt_in.", n)
+    n = re.sub(r"^time_text_embed\.timestep_embedder\.", "time_embed.", n)
+    n = re.sub(r"^time_text_embed\.guidance_embedder\.",
+               "guidance_embed.", n)
+    n = re.sub(r"^time_text_embed\.text_embedder\.", "pooled_embed.", n)
+    n = re.sub(r"^norm_out\.linear\.", "norm_out_mod.", n)
+    m = re.match(r"transformer_blocks\.(\d+)\.(.*)", n)
+    if m:
+        r = m.group(2)
+        r = re.sub(r"^norm1\.linear\.", "img_mod.", r)
+        r = re.sub(r"^norm1_context\.linear\.", "txt_mod.", r)
+        r = re.sub(r"^attn\.to_q\.", "attn_img_q.", r)
+        r = re.sub(r"^attn\.to_k\.", "attn_img_k.", r)
+        r = re.sub(r"^attn\.to_v\.", "attn_img_v.", r)
+        r = re.sub(r"^attn\.add_q_proj\.", "attn_txt_q.", r)
+        r = re.sub(r"^attn\.add_k_proj\.", "attn_txt_k.", r)
+        r = re.sub(r"^attn\.add_v_proj\.", "attn_txt_v.", r)
+        r = re.sub(r"^attn\.to_out\.0\.", "attn_img_out.", r)
+        r = re.sub(r"^attn\.to_add_out\.", "attn_txt_out.", r)
+        r = re.sub(r"^attn\.(norm_q|norm_k|norm_added_q|norm_added_k)\.",
+                   r"attn_\1.", r)
+        r = re.sub(r"^ff\.net\.0\.proj\.", "img_mlp_in.", r)
+        r = re.sub(r"^ff\.net\.2\.", "img_mlp_out.", r)
+        r = re.sub(r"^ff_context\.net\.0\.proj\.", "txt_mlp_in.", r)
+        r = re.sub(r"^ff_context\.net\.2\.", "txt_mlp_out.", r)
+        n = f"double_{m.group(1)}.{r}"
+    m = re.match(r"single_transformer_blocks\.(\d+)\.(.*)", n)
+    if m:
+        r = m.group(2)
+        r = re.sub(r"^norm\.linear\.", "mod.", r)
+        r = re.sub(r"^attn\.", "", r)
+        n = f"single_{m.group(1)}.{r}"
+    n = n.replace(".", "/")
+    if n.endswith("/weight"):
+        leaf = ("scale" if re.search(
+            r"(^|/)(attn_norm_\w+|norm_q|norm_k|txt_norm)/weight$", n)
+            else "kernel")
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def qwen_name_to_flax(name: str) -> str:
+    """diffusers QwenImageTransformer2DModel name -> our flax path
+    (inventory: checkpoint_specs.spec_qwen_transformer)."""
+    n = name
+    n = re.sub(r"^time_text_embed\.timestep_embedder\.", "time_embed.", n)
+    n = re.sub(r"^norm_out\.linear\.", "norm_out_mod.", n)
+    m = re.match(r"transformer_blocks\.(\d+)\.(.*)", n)
+    if m:
+        r = m.group(2)
+        r = re.sub(r"^img_mod\.1\.", "img_mod.", r)
+        r = re.sub(r"^txt_mod\.1\.", "txt_mod.", r)
+        r = re.sub(r"^attn\.to_q\.", "attn_img_q.", r)
+        r = re.sub(r"^attn\.to_k\.", "attn_img_k.", r)
+        r = re.sub(r"^attn\.to_v\.", "attn_img_v.", r)
+        r = re.sub(r"^attn\.add_q_proj\.", "attn_txt_q.", r)
+        r = re.sub(r"^attn\.add_k_proj\.", "attn_txt_k.", r)
+        r = re.sub(r"^attn\.add_v_proj\.", "attn_txt_v.", r)
+        r = re.sub(r"^attn\.to_out\.0\.", "attn_img_out.", r)
+        r = re.sub(r"^attn\.to_add_out\.", "attn_txt_out.", r)
+        r = re.sub(r"^attn\.(norm_q|norm_k|norm_added_q|norm_added_k)\.",
+                   r"attn_\1.", r)
+        r = re.sub(r"^img_mlp\.net\.0\.proj\.", "img_mlp_in.", r)
+        r = re.sub(r"^img_mlp\.net\.2\.", "img_mlp_out.", r)
+        r = re.sub(r"^txt_mlp\.net\.0\.proj\.", "txt_mlp_in.", r)
+        r = re.sub(r"^txt_mlp\.net\.2\.", "txt_mlp_out.", r)
+        n = f"double_{m.group(1)}.{r}"
+    n = n.replace(".", "/")
+    if n.endswith("/weight"):
+        leaf = ("scale" if re.search(
+            r"(^|/)(attn_norm_\w+|txt_norm)/weight$", n) else "kernel")
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_flux(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {flux_name_to_flax(k): v for k, v in tensors.items()}
+
+
+def convert_qwen(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {qwen_name_to_flax(k): v for k, v in tensors.items()}
+
+
+# ------------------------------------------------------------------ CLIP
+
+def clip_name_to_flax(name: str) -> str:
+    """HF CLIPTextModel(WithProjection) name -> our flax path
+    (models/text_encoder.py; inventory: checkpoint_specs.spec_clip_text)."""
+    n = name
+    n = re.sub(r"^text_model\.embeddings\.", "", n)
+    n = re.sub(r"^text_model\.encoder\.layers\.(\d+)\.", r"layers_\1.", n)
+    n = re.sub(r"^text_model\.final_layer_norm\.", "final_layer_norm.", n)
+    n = re.sub(r"\.self_attn\.", ".", n)
+    n = re.sub(r"\.mlp\.", ".", n)
+    n = n.replace(".", "/")
+    if n.endswith("/weight"):
+        if re.search(r"(^|/)(token_embedding|position_embedding)/weight$",
+                     n):
+            leaf = "embedding"
+        elif re.search(r"(^|/)(layer_norm\d|final_layer_norm)/weight$", n):
+            leaf = "scale"
+        else:
+            leaf = "kernel"
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_clip_text(tensors: Dict[str, np.ndarray]
+                      ) -> Dict[str, np.ndarray]:
+    return {clip_name_to_flax(k): v for k, v in tensors.items()}
 
 
 def sdxl_unet_name_to_flax(name: str, num_levels: int = 3) -> str:
@@ -185,6 +375,32 @@ def convert_vae(tensors: Dict[str, np.ndarray], num_levels: int = 4
     return {vae_name_to_flax(k, num_levels): v for k, v in tensors.items()}
 
 
+def controlnet_name_to_flax(name: str, num_levels: int = 3) -> str:
+    """diffusers ControlNetModel name -> our flax path (models/unet.py
+    ControlNet; inventory: checkpoint_specs.spec_controlnet)."""
+    n = name
+    n = re.sub(r"^controlnet_cond_embedding\.conv_in\.",
+               "cond_embedding.conv_in.", n)
+    n = re.sub(r"^controlnet_cond_embedding\.blocks\.(\d+)\.",
+               r"cond_embedding.blocks_\1.", n)
+    n = re.sub(r"^controlnet_cond_embedding\.conv_out\.",
+               "cond_embedding.conv_out.", n)
+    n = re.sub(r"^controlnet_down_blocks\.(\d+)\.", r"zero_down_\1.conv.", n)
+    n = re.sub(r"^controlnet_mid_block\.", "zero_mid.conv.", n)
+    if n != name:
+        n = n.replace(".", "/")
+        n = re.sub(r"/weight$", "/kernel", n)
+        n = re.sub(r"/bias$", "/bias", n)
+        return "params/" + n
+    return sdxl_unet_name_to_flax(name, num_levels)
+
+
+def convert_controlnet(tensors: Dict[str, np.ndarray], num_levels: int = 3
+                       ) -> Dict[str, np.ndarray]:
+    return {controlnet_name_to_flax(k, num_levels): v
+            for k, v in tensors.items()}
+
+
 def load_sdxl_controlnet(weights_dir: str, params):
     for sub in ("unet", "controlnet"):
         p = os.path.join(weights_dir, sub)
@@ -192,8 +408,11 @@ def load_sdxl_controlnet(weights_dir: str, params):
             tensors = _load_safetensors_dir(p)
             n_levels = len([k for k in params[sub]["params"].get("core", {})
                             if k.startswith("down_")]) or 3
-            converted = convert_sdxl_unet(tensors, n_levels)
-            params[sub] = graft_weights(params[sub], converted, {}, sub)
+            conv = convert_controlnet if sub == "controlnet" \
+                else convert_sdxl_unet
+            converted = conv(tensors, n_levels)
+            params[sub] = graft_weights(params[sub], converted, {}, sub,
+                                        strict=True)
     p = os.path.join(weights_dir, "vae")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
@@ -206,21 +425,216 @@ def load_sdxl_controlnet(weights_dir: str, params):
 
 
 def load_dit(weights_dir: str, params, variant: str):
+    """Graft a FLUX/Qwen transformer checkpoint (strict).
+
+    Layout: <weights_dir>/<variant>/*.safetensors with the diffusers
+    FluxTransformer2DModel / QwenImageTransformer2DModel state-dict keys
+    (reference runtime loads: tools/flux_depth.py:12-30 FLUX.1-Depth-dev;
+    tools/qwen_depth.py:50-62 Qwen-Image-Edit).
+    """
     p = os.path.join(weights_dir, variant)
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
-        params["dit"] = graft_weights(params["dit"], tensors,
-                                      _SDXL_RENAMES, variant)
+        if variant == "flux":
+            converted = convert_flux(tensors)
+        elif variant == "qwen":
+            converted = convert_qwen(tensors)
+        else:   # ddnm pixel-space unet: generic fallback, non-strict
+            params["dit"] = graft_weights(params["dit"], tensors,
+                                          _SDXL_RENAMES, variant)
+            return params
+        params["dit"] = graft_weights(params["dit"], converted, {},
+                                      variant, strict=True)
     return params
+
+
+def load_clip_towers(weights_dir: str, params_l, params_g):
+    """Graft the two SDXL text towers (strict).
+
+    Layout: <weights_dir>/text_encoder (CLIP-L) and
+    <weights_dir>/text_encoder_2 (OpenCLIP-G with text_projection),
+    diffusers state-dict keys.
+    """
+    for sub, params in (("text_encoder", params_l),
+                        ("text_encoder_2", params_g)):
+        p = os.path.join(weights_dir, sub)
+        if os.path.isdir(p):
+            tensors = _load_safetensors_dir(p)
+            tensors.pop("text_model.embeddings.position_ids", None)
+            if sub == "text_encoder":
+                params_l = graft_weights(params_l, convert_clip_text(
+                    tensors), {}, sub, strict=True)
+            else:
+                params_g = graft_weights(params_g, convert_clip_text(
+                    tensors), {}, sub, strict=True)
+    return params_l, params_g
+
+
+def instantmesh_name_to_flax(name: str) -> str:
+    """InstantMesh lrm_generator key -> our flax path (models/lrm.py;
+    inventory: checkpoint_specs.spec_instantmesh).  Fused
+    nn.MultiheadAttention tensors are split by convert_instantmesh before
+    this mapping runs."""
+    n = name
+    n = re.sub(r"^encoder\.model\.embeddings\.cls_token$",
+               "encoder_model.cls_token", n)
+    n = re.sub(r"^encoder\.model\.embeddings\.position_embeddings$",
+               "encoder_model.pos_embed", n)
+    n = re.sub(r"^encoder\.model\.embeddings\.patch_embeddings\."
+               r"projection\.", "encoder_model.patch_proj.", n)
+    m = re.match(r"encoder\.model\.encoder\.layer\.(\d+)\.(.*)", n)
+    if m:
+        r = m.group(2)
+        r = re.sub(r"^attention\.attention\.", "", r)
+        r = re.sub(r"^attention\.output\.dense\.", "attn_out.", r)
+        r = re.sub(r"^intermediate\.dense\.", "mlp_in.", r)
+        r = re.sub(r"^output\.dense\.", "mlp_out.", r)
+        r = re.sub(r"^layernorm_before\.", "ln_before.", r)
+        r = re.sub(r"^layernorm_after\.", "ln_after.", r)
+        r = re.sub(r"^adaLN_modulation\.1\.", "adaln.", r)
+        n = f"encoder_model.layer_{m.group(1)}.{r}"
+    n = re.sub(r"^encoder\.model\.layernorm\.", "encoder_model.ln.", n)
+    n = re.sub(r"^encoder\.model\.pooler\.dense\.",
+               "encoder_model.pooler.", n)
+    n = re.sub(r"^encoder\.camera_embedder\.0\.",
+               "camera_embedder.linear_1.", n)
+    n = re.sub(r"^encoder\.camera_embedder\.2\.",
+               "camera_embedder.linear_2.", n)
+    m = re.match(r"transformer\.layers\.(\d+)\.(.*)", n)
+    if m:
+        r = m.group(2)
+        r = re.sub(r"^cross_attn\.out_proj\.", "cross_out.", r)
+        r = re.sub(r"^self_attn\.out_proj\.", "self_out.", r)
+        r = re.sub(r"^mlp\.0\.", "mlp_in.", r)
+        r = re.sub(r"^mlp\.2\.", "mlp_out.", r)
+        n = f"transformer.layers_{m.group(1)}.{r}"
+    n = re.sub(r"^transformer\.pos_embed$", "transformer.pos_embed", n)
+    n = re.sub(r"^synthesizer\.decoder\.(net_\w+)\.(\d+)\.",
+               r"synthesizer.\1_\2.", n)
+    n = n.replace(".", "/")
+    if n.endswith("/weight"):
+        leaf = ("scale" if re.search(
+            r"(^|/)(ln\w*|norm\d|norm)/weight$", n) else "kernel")
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_instantmesh(tensors: Dict[str, np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+    """Split fused MultiheadAttention tensors, then map names.
+
+    torch fuses self-attention qkv into in_proj_weight [3D,D] /
+    in_proj_bias [3D]; cross-attention (kdim != embed_dim) keeps separate
+    q/k/v_proj_weight but still fuses the bias.  ConvTranspose2d weights
+    are (in,out,kh,kw) and pre-transposed here to flax HWIO.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tensors.items():
+        m = re.match(r"(.*)\.self_attn\.in_proj_(weight|bias)$", k)
+        if m:
+            q, kk, vv = np.split(v, 3, axis=0)
+            kind = m.group(2)
+            for part, t in (("q", q), ("k", kk), ("v", vv)):
+                out[instantmesh_name_to_flax(
+                    f"{m.group(1)}.self_{part}.{kind}")] = t
+            continue
+        m = re.match(r"(.*)\.cross_attn\.in_proj_bias$", k)
+        if m:
+            q, kk, vv = np.split(v, 3, axis=0)
+            for part, t in (("q", q), ("k", kk), ("v", vv)):
+                out[instantmesh_name_to_flax(
+                    f"{m.group(1)}.cross_{part}.bias")] = t
+            continue
+        m = re.match(r"(.*)\.cross_attn\.([qkv])_proj_weight$", k)
+        if m:
+            out[instantmesh_name_to_flax(
+                f"{m.group(1)}.cross_{m.group(2)}.weight")] = v
+            continue
+        out[instantmesh_name_to_flax(k)] = v
+    return out
 
 
 def load_instantmesh(weights_dir: str, params):
+    """Graft the InstantMesh LRM + zero123plus UNet + SD VAE (strict).
+
+    Layout: <weights_dir>/instantmesh/*.safetensors (lrm_generator keys,
+    prefix stripped — reference: tools/instantmesh.py:107-109),
+    <weights_dir>/zero123plus_unet, <weights_dir>/zero123plus_vae
+    (diffusers keys).
+    """
     p = os.path.join(weights_dir, "instantmesh")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
-        params["lrm"] = graft_weights(params["lrm"], tensors,
-                                      _SDXL_RENAMES, "lrm")
+        tensors = {(k[len("lrm_generator."):]
+                    if k.startswith("lrm_generator.") else k): v
+                   for k, v in tensors.items()}
+        params["lrm"] = graft_weights(params["lrm"],
+                                      convert_instantmesh(tensors), {},
+                                      "lrm", strict=True)
+    p = os.path.join(weights_dir, "zero123plus_unet")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        params["unet"] = graft_weights(
+            params["unet"], convert_sdxl_unet(tensors, 4), {},
+            "zero123plus_unet", strict=True)
+    p = os.path.join(weights_dir, "zero123plus_vae")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        params["vae"] = graft_weights(params["vae"], convert_vae(
+            tensors, 4), {}, "zero123plus_vae", strict=True)
     return params
+
+
+def birefnet_name_to_flax(name: str) -> str:
+    """RMBG-2.0 (BiRefNet) key -> our flax path (models/birefnet.py;
+    inventory: checkpoint_specs.spec_birefnet).  BatchNorm running stats
+    route to the batch_stats collection."""
+    n = name
+    n = re.sub(r"^bb\.patch_embed\.proj\.", "bb.patch_embed_proj.", n)
+    n = re.sub(r"^bb\.patch_embed\.norm\.", "bb.patch_embed_norm.", n)
+    n = re.sub(r"^bb\.layers\.(\d+)\.blocks\.(\d+)\.",
+               r"bb.layer_\1_block_\2.", n)
+    n = re.sub(r"^bb\.layers\.(\d+)\.downsample\.", r"bb.downsample_\1.", n)
+    n = re.sub(r"^bb\.norm(\d)\.", r"bb.out_norm_\1.", n)
+    n = re.sub(r"\.mlp\.fc(\d)\.", r".fc\1.", n)
+    n = re.sub(r"^squeeze_module\.0\.", "squeeze_module_0.", n)
+    n = re.sub(r"^decoder\.decoder_block(\d)\.", r"decoder_block\1.", n)
+    n = re.sub(r"^decoder\.lateral_block(\d)\.", r"lateral_block\1.", n)
+    n = re.sub(r"^decoder\.gdt_convs_(\d)\.0\.", r"gdt_convs_\1_conv.", n)
+    n = re.sub(r"^decoder\.gdt_convs_(\d)\.1\.", r"gdt_convs_\1_bn.", n)
+    n = re.sub(r"^decoder\.gdt_convs_attn_(\d)\.0\.",
+               r"gdt_convs_attn_\1.", n)
+    n = re.sub(r"^decoder\.gdt_convs_pred_(\d)\.0\.",
+               r"gdt_convs_pred_\1.", n)
+    n = re.sub(r"^decoder\.conv_out1\.0\.", "conv_out1.", n)
+    n = n.replace(".", "/")
+    if n.endswith("/running_mean"):
+        return "batch_stats/" + n[: -len("running_mean")] + "mean"
+    if n.endswith("/running_var"):
+        return "batch_stats/" + n[: -len("running_var")] + "var"
+    if n.endswith("/weight"):
+        if re.search(r"(^|/)(norm\d?|patch_embed_norm|out_norm_\d)"
+                     r"/weight$", n):
+            leaf = "scale"
+        elif re.search(r"(^|/)(bn_in|bn_out|gdt_convs_\d_bn)/weight$", n):
+            leaf = "scale"
+        else:
+            leaf = "kernel"
+        n = n[: -len("weight")] + leaf
+    return "params/" + n
+
+
+def convert_birefnet(tensors: Dict[str, np.ndarray]
+                     ) -> Dict[str, np.ndarray]:
+    """Drop registered buffers, keep BN stats, map names."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tensors.items():
+        if (k.endswith("relative_position_index")
+                or k.endswith("attn_mask")
+                or k.endswith("num_batches_tracked")):
+            continue
+        out[birefnet_name_to_flax(k)] = v
+    return out
 
 
 def load_trellis(weights_dir: str, params):
@@ -232,8 +646,14 @@ def load_trellis(weights_dir: str, params):
 
 
 def load_matting(weights_dir: str, params):
+    """Graft RMBG-2.0 (BiRefNet) into models/birefnet.py (strict).
+
+    Layout: <weights_dir>/rmbg/*.safetensors with the RMBG-2.0 keys
+    (reference: tools/RMBG.py:10-13).
+    """
     p = os.path.join(weights_dir, "rmbg")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
-        params = graft_weights(params, tensors, _SDXL_RENAMES, "rmbg")
+        params = graft_weights(params, convert_birefnet(tensors), {},
+                               "rmbg", strict=True)
     return params

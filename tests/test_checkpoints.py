@@ -1,0 +1,351 @@
+"""Checkpoint-conversion coverage: every real state-dict key must graft.
+
+For each neural backend the reference loads pretrained (FLUX.1-Depth-dev,
+Qwen-Image-Edit, SDXL CLIP towers, zero123plus/SDXL UNets):
+  * TINY scale: generate a synthetic checkpoint with the real key
+    inventory (checkpoint_specs), convert, STRICT-graft values into the
+    flax tree, and require bidirectional 100% coverage;
+  * FULL scale: jax.eval_shape the full preset (no memory materialized)
+    and verify every spec key maps to an existing parameter with the
+    right shape AND every parameter is covered.
+
+This is the strongest verification available in a zero-egress container:
+a real checkpoint with these keys either grafts completely or raises.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpc_tpu.models import checkpoint_specs as specs
+from genpc_tpu.models.weights import (
+    convert_clip_text, convert_flux, convert_qwen, graft_weights,
+    synthetic_checkpoint, tree_shapes, verify_spec_coverage)
+
+
+def _check(param_shapes, converted_spec, label):
+    missing, mismatched, uncovered = verify_spec_coverage(
+        param_shapes, converted_spec)
+    assert not missing, f"{label}: spec keys not in tree: {missing[:5]}"
+    assert not mismatched, f"{label}: shape mismatches: {mismatched[:5]}"
+    assert not uncovered, f"{label}: uninitialized params: {uncovered[:5]}"
+
+
+# ------------------------------------------------------------- FLUX/Qwen
+
+def _dit_init_args(cfg):
+    lat = jnp.zeros((1, 8, 8, cfg.in_channels))
+    cond = jnp.zeros((1, 8, 8, cfg.cond_channels))
+    txt = jnp.zeros((1, 16, cfg.text_dim))
+    pooled = jnp.zeros((1, cfg.pooled_dim)) if cfg.pooled_dim else None
+    return lat, jnp.ones((1,)) * 0.5, txt, pooled, cond, jnp.ones((1,))
+
+
+def test_flux_conversion_tiny_values():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    from genpc_tpu.models.weights import flux_name_to_flax
+    cfg = DiTConfig.preset("tiny")
+    model = MMDiT(cfg)
+    args = _dit_init_args(cfg)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    spec = specs.spec_flux_transformer(cfg)
+    ckpt = synthetic_checkpoint(spec)
+    converted_shapes = {flux_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(params), converted_shapes, "flux-tiny")
+    before = model.apply(params, *args)
+    params2 = graft_weights(params, convert_flux(ckpt), {}, "flux-test",
+                            strict=True)
+    after = model.apply(params2, *args)
+    assert float(jnp.abs(before - after).max()) > 1e-6
+    assert np.isfinite(np.asarray(after)).all()
+
+
+def test_flux_conversion_full_shapes():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    from genpc_tpu.models.weights import flux_name_to_flax
+    cfg = DiTConfig.preset("flux")
+    model = MMDiT(cfg)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), *_dit_init_args(cfg)))
+    spec = specs.spec_flux_transformer(cfg)
+    converted = {flux_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "flux-full")
+    # the FLUX.1-Depth-dev headline dims
+    assert spec["x_embedder.weight"] == (3072, 128)
+    assert spec["context_embedder.weight"] == (3072, 4096)
+    assert spec["single_transformer_blocks.37.proj_out.weight"] == \
+        (3072, 15360)
+    n_params = sum(int(np.prod(s)) for s in spec.values())
+    assert 11e9 < n_params < 13e9   # FLUX.1 is ~12B
+
+
+def test_qwen_conversion_tiny_values():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    from genpc_tpu.models.weights import qwen_name_to_flax
+    cfg = DiTConfig.preset("tiny_qwen")
+    model = MMDiT(cfg)
+    args = _dit_init_args(cfg)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    spec = specs.spec_qwen_transformer(cfg)
+    converted_shapes = {qwen_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(params), converted_shapes, "qwen-tiny")
+    params2 = graft_weights(params, convert_qwen(synthetic_checkpoint(
+        spec)), {}, "qwen-test", strict=True)
+    out = model.apply(params2, *args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_qwen_conversion_full_shapes():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    from genpc_tpu.models.weights import qwen_name_to_flax
+    cfg = DiTConfig.preset("qwen")
+    model = MMDiT(cfg)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), *_dit_init_args(cfg)))
+    spec = specs.spec_qwen_transformer(cfg)
+    converted = {qwen_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "qwen-full")
+    assert spec["img_in.weight"] == (3072, 64)
+    assert spec["txt_in.weight"] == (3072, 3584)
+    assert "transformer_blocks.59.img_mod.1.weight" in spec
+
+
+# ------------------------------------------------------------------ CLIP
+
+@pytest.mark.parametrize("preset", ["tiny", "tiny_g"])
+def test_clip_conversion_tiny_values(preset):
+    from genpc_tpu.models.text_encoder import CLIPTextConfig, CLIPTextModel
+    from genpc_tpu.models.weights import clip_name_to_flax
+    cfg = CLIPTextConfig.preset(preset)
+    model = CLIPTextModel(cfg)
+    ids = jnp.zeros((1, cfg.max_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    spec = specs.spec_clip_text(cfg)
+    converted_shapes = {clip_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(params), converted_shapes, f"clip-{preset}")
+    params2 = graft_weights(params, convert_clip_text(
+        synthetic_checkpoint(spec)), {}, "clip-test", strict=True)
+    h, pen, pooled = model.apply(params2, ids)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+@pytest.mark.parametrize("preset", ["clip_l", "clip_g"])
+def test_clip_conversion_full_shapes(preset):
+    from genpc_tpu.models.text_encoder import CLIPTextConfig, CLIPTextModel
+    from genpc_tpu.models.weights import clip_name_to_flax
+    cfg = CLIPTextConfig.preset(preset)
+    model = CLIPTextModel(cfg)
+    ids = jnp.zeros((1, cfg.max_len), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids))
+    spec = specs.spec_clip_text(cfg)
+    converted = {clip_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, f"clip-{preset}")
+    if preset == "clip_g":
+        assert spec["text_projection.weight"] == (1280, 1280)
+
+
+# ------------------------------------------------- UNet (SDXL + zero123+)
+
+def _unet_shapes(cfg):
+    from genpc_tpu.models.unet import UNet2DCondition
+    model = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 8, 8, cfg.in_channels))
+    ctx = jnp.zeros((1, 16, cfg.context_dim))
+    added = (jnp.zeros((1, cfg.addition_embed_dim))
+             if cfg.addition_embed_dim else None)
+    return jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx,
+        added_cond=added))
+
+
+@pytest.mark.parametrize("preset", ["sdxl", "sd2"])
+def test_unet_spec_matches_flax_tree(preset):
+    """Cross-check: the diffusers-name spec converts onto our flax tree
+    exactly (both directions) for the SDXL base and the zero123plus
+    (SD2-class) layouts."""
+    from genpc_tpu.models.unet import UNetConfig
+    from genpc_tpu.models.weights import sdxl_unet_name_to_flax
+    cfg = UNetConfig.preset(preset)
+    spec = specs.spec_unet(cfg)
+    n_levels = len(cfg.block_out_channels)
+    converted = {sdxl_unet_name_to_flax(k, n_levels): v
+                 for k, v in spec.items()}
+    _check(tree_shapes(_unet_shapes(cfg)), converted, f"unet-{preset}")
+    if preset == "sdxl":
+        assert spec["add_embedding.linear_1.weight"] == (1280, 2816)
+    if preset == "sd2":
+        assert spec["mid_block.attentions.0.proj_in.weight"] == (1280, 1280)
+        # SD2 last down level is attention-free
+        assert "down_blocks.3.attentions.0.norm.weight" not in spec
+
+
+# ------------------------------------------------- RMBG-2.0 (BiRefNet)
+
+def test_birefnet_conversion_tiny_values():
+    from genpc_tpu.models.birefnet import BiRefNet, BiRefNetConfig
+    from genpc_tpu.models.weights import convert_birefnet
+    cfg = BiRefNetConfig.preset("tiny")
+    model = BiRefNet(cfg)
+    img = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    spec = specs.spec_birefnet(cfg)
+    ckpt = synthetic_checkpoint(spec)
+    # real checkpoints also carry registered buffers; must be dropped
+    ckpt["bb.layers.0.blocks.0.attn.relative_position_index"] = \
+        np.zeros((cfg.window ** 2, cfg.window ** 2), np.int64)
+    ckpt["squeeze_module.0.bn_in.num_batches_tracked"] = np.zeros((),
+                                                                  np.int64)
+    converted = convert_birefnet(ckpt)
+    converted_shapes = {k: v.shape for k, v in converted.items()}
+    _check(tree_shapes(params), converted_shapes, "birefnet-tiny")
+    params2 = graft_weights(params, converted, {}, "rmbg-test",
+                            strict=True)
+    out = model.apply(params2, img)
+    assert out.shape == (1, cfg.img_size, cfg.img_size, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_birefnet_conversion_full_shapes():
+    from genpc_tpu.models.birefnet import BiRefNet, BiRefNetConfig
+    from genpc_tpu.models.weights import birefnet_name_to_flax
+    cfg = BiRefNetConfig.preset("full")
+    model = BiRefNet(cfg)
+    img = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), img))
+    spec = specs.spec_birefnet(cfg)
+    converted = {birefnet_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "birefnet-full")
+    # swin_v1_large headline dims
+    assert spec["bb.patch_embed.proj.weight"] == (192, 3, 4, 4)
+    assert spec["bb.layers.2.blocks.17.attn.qkv.weight"] == (2304, 768)
+    assert spec["bb.layers.0.blocks.0.attn."
+                "relative_position_bias_table"] == (529, 6)
+    assert spec["decoder.conv_out1.0.weight"] == (1, 96, 1, 1)
+
+
+# ------------------------------------------------------------ InstantMesh
+
+def _lrm_init_args(cfg):
+    views = jnp.zeros((1, cfg.num_views, cfg.view_size, cfg.view_size, 3))
+    cams = jnp.zeros((1, cfg.num_views, 16))
+    pts = jnp.zeros((8, 3))
+    return views, cams, pts
+
+
+def test_instantmesh_conversion_tiny_values():
+    from genpc_tpu.models.lrm import LRMConfig, TriplaneLRM
+    from genpc_tpu.models.weights import convert_instantmesh
+    cfg = LRMConfig.preset("tiny")
+    model = TriplaneLRM(cfg)
+    args = _lrm_init_args(cfg)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    spec = specs.spec_instantmesh(cfg)
+    ckpt = synthetic_checkpoint(spec)
+    converted = convert_instantmesh(ckpt)
+    converted_shapes = {k: v.shape for k, v in converted.items()}
+    _check(tree_shapes(params), converted_shapes, "instantmesh-tiny")
+    params2 = graft_weights(params, converted, {}, "lrm-test", strict=True)
+    sdf, rgb, deformation, weight = model.apply(params2, *args)
+    assert sdf.shape == (8,) and rgb.shape == (8, 3)
+    assert deformation.shape == (8, 3) and weight.shape == (8, 21)
+    assert np.isfinite(np.asarray(sdf)).all()
+
+
+def test_instantmesh_conversion_full_shapes():
+    from genpc_tpu.models.lrm import LRMConfig, TriplaneLRM
+    from genpc_tpu.models.weights import convert_instantmesh
+    cfg = LRMConfig.preset("full")
+    model = TriplaneLRM(cfg)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), *_lrm_init_args(cfg)))
+    spec = specs.spec_instantmesh(cfg)
+    ckpt = {k: np.zeros(s, np.float32) for k, s in spec.items()}
+    converted = {k: v.shape for k, v in convert_instantmesh(ckpt).items()}
+    _check(tree_shapes(shapes), converted, "instantmesh-full")
+    # instant-mesh-base headline dims
+    assert spec["transformer.pos_embed"] == (1, 3 * 32 * 32, 1024)
+    assert spec["transformer.deconv.weight"] == (1024, 80, 2, 2)
+    assert spec["encoder.camera_embedder.0.weight"] == (768, 16)
+    assert spec["synthesizer.decoder.net_weight.6.weight"] == (21, 64)
+
+
+def test_controlnet_spec_matches_flax_tree():
+    """xinsir depth-SDXL ControlNet layout: trunk + cond embedding +
+    zero-conv taps all convert bidirectionally."""
+    from genpc_tpu.models.unet import ControlNet, UNetConfig
+    from genpc_tpu.models.weights import controlnet_name_to_flax
+    cfg = UNetConfig.preset("sdxl")
+    cond_ch = (16, 32, 96, 256)
+    model = ControlNet(cfg, cond_channels=cond_ch)
+    lat = jnp.zeros((1, 8, 8, cfg.in_channels))
+    ctx = jnp.zeros((1, 16, cfg.context_dim))
+    cond_img = jnp.zeros((1, 64, 64, 3))
+    added = jnp.zeros((1, cfg.addition_embed_dim))
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, cond_img,
+        added_cond=added))
+    spec = specs.spec_controlnet(cfg, cond_ch)
+    converted = {controlnet_name_to_flax(k, 3): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "controlnet-sdxl")
+    assert spec["controlnet_cond_embedding.conv_out.weight"] == \
+        (320, 256, 3, 3)
+    assert spec["controlnet_mid_block.weight"] == (1280, 1280, 1, 1)
+
+
+# -------------------------------------------------------------- tokenizer
+
+def test_clip_bpe_tokenizer_algorithm(tmp_path):
+    """Hand-checkable BPE case with a synthetic vocab/merges pair."""
+    import json
+    from genpc_tpu.models.text_encoder import CLIPTokenizer, make_tokenizer
+    # vocabulary: single chars + the merged pieces
+    vocab = {c: i for i, c in enumerate("abcdehlorw")}
+    n = len(vocab)
+    for piece in ["he", "ll", "hell", "o</w>", "hello</w>", "w", "or",
+                  "ld</w>", "world</w>"]:
+        vocab[piece] = n
+        n += 1
+    vocab["<|startoftext|>"] = n
+    vocab["<|endoftext|>"] = n + 1
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("o", "</w>"),
+              ("hell", "o</w>"), ("o", "r"), ("l", "d</w>"),
+              ("w", "or"), ("wor", "ld</w>")]
+    tok = CLIPTokenizer(vocab, merges, max_len=8)
+    ids = tok("Hello world")
+    assert ids[0] == vocab["<|startoftext|>"]
+    assert ids[1] == vocab["hello</w>"]
+    assert ids[2] == vocab["world</w>"]
+    assert ids[3] == vocab["<|endoftext|>"]
+    # CLIP pads with EOT
+    assert all(i == vocab["<|endoftext|>"] for i in ids[3:])
+
+    # file round-trip through make_tokenizer (the weights_dir path)
+    tdir = tmp_path / "tokenizer"
+    tdir.mkdir()
+    (tdir / "vocab.json").write_text(json.dumps(vocab))
+    (tdir / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    tok2 = make_tokenizer(str(tmp_path), 0, max_len=8)
+    assert isinstance(tok2, CLIPTokenizer)
+    np.testing.assert_array_equal(tok2("Hello world"), ids)
+
+
+def test_tokenizer_falls_back_to_hash():
+    from genpc_tpu.models.text_encoder import HashTokenizer, make_tokenizer
+    tok = make_tokenizer(None, 1024)
+    assert isinstance(tok, HashTokenizer)
+    a = tok("a photo of a chair")
+    b = tok("a photo of a chair")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_strict_graft_raises_on_miss():
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+    cfg = DiTConfig.preset("tiny")
+    model = MMDiT(cfg)
+    params = model.init(jax.random.PRNGKey(0), *_dit_init_args(cfg))
+    with pytest.raises(ValueError, match="failed to graft"):
+        graft_weights(params, {"bogus.weight": np.zeros((3, 3))}, {},
+                      "strict-test", strict=True)

@@ -60,7 +60,7 @@ def test_vae_roundtrip_shape():
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
     params = vae.init(jax.random.PRNGKey(1), img)
     z = vae.apply(params, img, method=AutoencoderKL.encode)
-    assert z.shape == (1, 16, 16, 4)   # tiny preset: 2 levels -> 2x factor
+    assert z.shape == (1, 4, 4, 4)   # tiny preset keeps the real /8 factor
     out = vae.apply(params, z, method=AutoencoderKL.decode)
     assert out.shape == (1, 32, 32, 3)
 
@@ -112,17 +112,20 @@ def test_flow_match_oracle_recovery():
 
 
 def test_clip_text_model():
-    cfg = CLIPTextConfig.preset("tiny")
+    cfg = CLIPTextConfig.preset("tiny_g")
     model = CLIPTextModel(cfg)
     tok = HashTokenizer(cfg.vocab_size, cfg.max_len)
     ids = jnp.asarray(tok("a photo of a chair"))[None]
     params = model.init(jax.random.PRNGKey(0), ids)
-    hidden, pooled = model.apply(params, ids)
+    hidden, penult, pooled = model.apply(params, ids)
     assert hidden.shape == (1, 77, cfg.hidden_dim)
-    assert pooled.shape == (1, cfg.hidden_dim)
+    assert penult.shape == (1, 77, cfg.hidden_dim)
+    assert pooled.shape == (1, cfg.proj_dim)
+    # penultimate (SDXL context) differs from the final-LN output
+    assert float(jnp.abs(hidden - penult).max()) > 1e-4
     # different prompts give different embeddings
     ids2 = jnp.asarray(tok("a photo of a table"))[None]
-    h2, _ = model.apply(params, ids2)
+    h2, _, _ = model.apply(params, ids2)
     assert float(jnp.abs(hidden - h2).max()) > 1e-4
 
 

@@ -100,8 +100,20 @@ def main(argv=None):
     ap.add_argument("--output", default=None, help="workspace dir")
     ap.add_argument("--backend", default=None,
                     help="override all generative backends (e.g. synthetic)")
+    ap.add_argument("--control-model", default=None,
+                    help="depth->image backend (controlnet/adapter/flux/qwen)")
+    ap.add_argument("--rembg-model", default=None,
+                    help="background removal backend (rmbg/synthetic)")
+    ap.add_argument("--generative-model", default=None,
+                    help="image->3D backend (instantmesh/trellis/synthetic)")
     ap.add_argument("--no-metric", action="store_true")
     ap.add_argument("--no-emd", action="store_true")
+    ap.add_argument("--batched", action="store_true",
+                    help="object-batched runner (one device program per "
+                         "stage over the whole set)")
+    ap.add_argument("--mesh", default=None,
+                    help="device mesh for the batched runner, e.g. dp=8 "
+                         "(implies --batched)")
     ap.add_argument("--timings", action="store_true",
                     help="print the per-stage timing table")
     ap.add_argument("--profile", default=None,
@@ -115,6 +127,16 @@ def main(argv=None):
         cfg.control_model = args.backend
         cfg.rembg_model = args.backend
         cfg.generative_model = args.backend
+    if args.control_model:
+        cfg.control_model = args.control_model
+    if args.rembg_model:
+        cfg.rembg_model = args.rembg_model
+    if args.generative_model:
+        cfg.generative_model = args.generative_model
+    if args.mesh:
+        cfg.mesh_shape = {k: int(v) for k, v in
+                          (kv.split("=") for kv in args.mesh.split(","))}
+        args.batched = True
     flags = args.flags or [f for f in REDWOOD_FLAGS if os.path.exists(
         os.path.join(args.data_dir, f"{f}.ply"))]
 
@@ -122,9 +144,18 @@ def main(argv=None):
     timer = StageTimer()
     start = time.time()
     with trace(args.profile):
-        run_pipeline(cfg, flags, args.data_dir, args.gt_dir,
-                     with_metric=not args.no_metric,
-                     with_emd=not args.no_emd, timer=timer)
+        if args.batched:
+            from genpc_tpu.metrics.metric import summarize
+            from genpc_tpu.parallel.batched_runner import run_batched
+            results = run_batched(cfg, flags, args.data_dir, args.gt_dir,
+                                  with_emd=not args.no_emd)
+            if results:
+                print("\n=== Results ===")
+                summarize(results)
+        else:
+            run_pipeline(cfg, flags, args.data_dir, args.gt_dir,
+                         with_metric=not args.no_metric,
+                         with_emd=not args.no_emd, timer=timer)
     wall = time.time() - start
     if args.timings:
         print()

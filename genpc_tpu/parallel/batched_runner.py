@@ -142,8 +142,15 @@ def _apply(T, pts):
 
 
 def batched_reg(cfg, arts: List[ObjectArtifacts],
-                cd_inv_weight: float = 0.5) -> None:
-    """Stage 3 for a batch of objects; writes fused clouds into arts."""
+                cd_inv_weight: float = 0.5, mesh=None) -> None:
+    """Stage 3 for a batch of objects; writes fused clouds into arts.
+
+    With a device mesh (cfg.mesh_shape -> parallel/mesh.get_mesh) the
+    object axis of every stacked array is sharded over 'dp' before the
+    jitted programs run — XLA partitions the vmapped pose optimization
+    and ICP sweeps across chips (len(arts) must divide by dp; run_batched
+    pads the batch).
+    """
     # aligned-completion fast path (see pipeline/registration.py)
     if bool(cfg.get("trust_aligned_completion", False)):
         aligned = [a for a in arts if a.complete_aligned]
@@ -164,6 +171,9 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
             arts = [a for a in arts if not a.complete_aligned]
             if not arts:
                 return
+    from genpc_tpu.parallel.mesh import dp_size
+    if mesh is not None and len(arts) % dp_size(mesh) != 0:
+        mesh = None      # mixed aligned/unaligned batch broke divisibility
     B = len(arts)
     pose_n = int(cfg.get("pose_complete_points", POSE_N))
     icp_n = int(cfg.get("icp_points", ICP_N))
@@ -192,9 +202,12 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         pose_p.append(pv), pose_pc.append(pvc)
         pose_c.append(cv), pose_cc.append(cvc)
 
+    from genpc_tpu.parallel.mesh import dp_sharded
+    pc, pcc, pp, ppc = dp_sharded(
+        mesh, jnp.asarray(np.stack(pose_c)), jnp.asarray(np.stack(pose_cc)),
+        jnp.asarray(np.stack(pose_p)), jnp.asarray(np.stack(pose_pc)))
     T = batched_pose_optim(
-        jnp.asarray(np.stack(pose_c)), jnp.asarray(np.stack(pose_cc)),
-        jnp.asarray(np.stack(pose_p)), jnp.asarray(np.stack(pose_pc)),
+        pc, pcc, pp, ppc,
         jnp.float32(0.02), jnp.float32(cfg.get("pose_lr", 0.01)),
         int(cfg.get("pose_iters", 200)),
         int(cfg.get("pose_render_size", 224)))
@@ -212,8 +225,10 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         td, _ = voxel_down_sample(tgt_n[i], 0.03)
         cs.append(resample_fixed(sd, icp_n)[0].astype(np.float32))
         ct.append(resample_fixed(td, icp_n)[0].astype(np.float32))
+    cs_d, ct_d = dp_sharded(mesh, jnp.asarray(np.stack(cs)),
+                            jnp.asarray(np.stack(ct)))
     coarse_T, _ = batched_coarse_sweep(
-        jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(ct)),
+        cs_d, ct_d,
         jnp.asarray(np.linspace(1.5, 0.8, 11), jnp.float32),
         jnp.float32(cd_inv_weight))
     coarse_T = np.asarray(coarse_T)
@@ -226,8 +241,10 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         td, _ = voxel_down_sample(tgt_n[i], 0.03)
         fs.append(resample_fixed(sd, icp_n)[0].astype(np.float32))
         ft.append(resample_fixed(td, icp_n)[0].astype(np.float32))
+    fs_d, ft_d = dp_sharded(mesh, jnp.asarray(np.stack(fs)),
+                            jnp.asarray(np.stack(ft)))
     S, fine_T = batched_fine_search(
-        jnp.asarray(np.stack(fs)), jnp.asarray(np.stack(ft)),
+        fs_d, ft_d,
         cd_inv_weight=cd_inv_weight,
         scale_steps=int(cfg.get("fine_scale_steps", 10)))
 
@@ -259,8 +276,15 @@ def run_batched(cfg, flags: List[str], data_dir: str,
                 gt_dir: Optional[str] = None, with_emd: bool = True,
                 batch: Optional[int] = None, verbose: bool = True
                 ) -> Dict[str, Dict[str, float]]:
-    """Full pipeline with batched stage 3 + batched metrics."""
+    """Full pipeline with batched stage 3 + batched metrics.
+
+    Honors cfg.mesh_shape: with e.g. {'dp': 8} the object batch is padded
+    to a dp multiple and every batched device program shards its object
+    axis across the mesh (parallel/mesh.py).
+    """
+    from genpc_tpu.parallel.mesh import dp_sharded, dp_size, get_mesh
     gt_dir = gt_dir or os.path.join(data_dir, "GT")
+    mesh = get_mesh(cfg)
     dp = DepthPrompting(cfg)
     sa = ScaleAdapter(cfg)
     n_in = int(cfg.get("input_points", 65536))
@@ -271,17 +295,29 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         rng = np.random.default_rng(0)
         idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
         arts.append(ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx]))
+    # pad the batch to a dp multiple with copies of the last object;
+    # padded entries run on-device but are skipped on host + in results
+    n_real = len(arts)
+    pad = (-n_real) % dp_size(mesh)
+    for i in range(pad):
+        src = arts[-1]
+        arts.append(ObjectArtifacts(flag=f"_pad{i}", xyz=src.xyz,
+                                    rgb=src.rgb))
+    real_arts = arts[:n_real]
     # stage 1: one jitted program over the whole batch
-    batched_stage1(cfg, arts, dp.viewpoints, dp=dp)
+    batched_stage1(cfg, arts, dp.viewpoints, dp=dp, mesh=mesh)
     from genpc_tpu.categories import get_category
-    for art in arts:
+    for art in real_arts:
         art.image = np.asarray(dp.depth2image.generate(
             art.depth, get_category(art.flag), size=int(cfg.generate_res)))
+    for art in arts[n_real:]:
+        art.image = real_arts[-1].image
     sa.scale_adapter_batch(arts)
 
     batch = batch or len(arts)
     for i in range(0, len(arts), batch):
-        batched_reg(cfg, arts[i:i + batch])
+        batched_reg(cfg, arts[i:i + batch], mesh=mesh)
+    arts = real_arts
 
     # batched metric: FPS from the FULL clouds (reference: main.py:21-22).
     # Static shapes come from padding each cloud to the batch max by
@@ -306,8 +342,14 @@ def run_batched(cfg, flags: List[str], data_dir: str,
                 for c in clouds])
         preds = pad_repeat(preds)
         gts = pad_repeat(gts)
+        bpad = (-len(preds)) % dp_size(mesh)
+        if bpad:
+            preds = np.concatenate([preds] + [preds[-1:]] * bpad)
+            gts = np.concatenate([gts] + [gts[-1:]] * bpad)
+        pred_d, gt_d = dp_sharded(mesh, jnp.asarray(preds),
+                                  jnp.asarray(gts))
         cd, emd = batched_metric(
-            jnp.asarray(preds), jnp.asarray(gts),
+            pred_d, gt_d,
             num_points=int(cfg.metric_points),
             emd_eps=float(cfg.emd_eps), emd_iters=int(cfg.emd_iters),
             with_emd=with_emd)
@@ -344,13 +386,16 @@ def _project(eye, pts, fovy_rad):
                       cam[:, 1] / safe * inv_tan, depth], axis=-1)
 
 
-def make_stage1_core(cfg, viewpoints: np.ndarray):
+def make_stage1_core(cfg, viewpoints: np.ndarray, mesh=None):
     """Build the jitted batched Stage-1 core: (xyz, rgb) [B,N,3] ->
     (uv [B,N,2], viewpoint [B,3], raw_depth/depth/mask [B,3,res,res]).
 
     The whole stage — FPS, 1024-view z-buffer viewpoint selection,
     best-vs-opposite depth-sum heuristic, splatting, masks, diffusion
-    inpaint — is one device program over the object batch.
+    inpaint — is one device program over the object batch.  With a mesh,
+    the program runs under shard_map over 'dp' so the sequential
+    per-object visibility scan iterates only the LOCAL object shard
+    (B/dp steps per chip, chips in parallel).
     """
     import math
     from genpc_tpu.geometry.cameras import rescale_uvs
@@ -368,7 +413,6 @@ def make_stage1_core(cfg, viewpoints: np.ndarray):
     inpaint_iters = int(cfg.get("inpaint_iters", 250))
     sel_res = auto_zbuffer_res(n_ds)
 
-    @jax.jit
     def core(xyz, rgb):
         # viewpoint selection on an FPS downsample
         sidx = batched_fps(xyz, n_ds)
@@ -399,21 +443,29 @@ def make_stage1_core(cfg, viewpoints: np.ndarray):
 
         return jax.vmap(per_object)(xyz, rgb, vp)
 
-    return core
+    if mesh is not None and "dp" in mesh.axis_names:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        core = shard_map(core, mesh=mesh,
+                         in_specs=(P("dp"), P("dp")),
+                         out_specs=(P("dp"),) * 6, check_rep=False)
+    return jax.jit(core)
 
 
 def batched_stage1(cfg, arts: List[ObjectArtifacts],
                    viewpoints: np.ndarray, core=None,
-                   dp: Optional[DepthPrompting] = None) -> None:
+                   dp: Optional[DepthPrompting] = None, mesh=None) -> None:
     """Run the jitted Stage-1 core over a batch; fill art fields.
 
     The device core always computes the jax diffusion fill; for the
     neural / host inpainter backends (flux, DDNM, cv2 — reference:
     DepthPrompting.py:201-229) the per-object inpainter replaces it.
     """
-    core = core or make_stage1_core(cfg, viewpoints)
-    xyz = jnp.asarray(np.stack([a.xyz for a in arts]), jnp.float32)
-    rgb = jnp.asarray(np.stack([a.rgb for a in arts]), jnp.float32)
+    from genpc_tpu.parallel.mesh import dp_sharded
+    core = core or make_stage1_core(cfg, viewpoints, mesh=mesh)
+    xyz, rgb = dp_sharded(
+        mesh, jnp.asarray(np.stack([a.xyz for a in arts]), jnp.float32),
+        jnp.asarray(np.stack([a.rgb for a in arts]), jnp.float32))
     uv, vp, raw, depth, m1, m2 = core(xyz, rgb)
     uv, vp, raw, depth, m1, m2 = map(np.asarray,
                                      (uv, vp, raw, depth, m1, m2))

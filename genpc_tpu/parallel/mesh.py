@@ -37,6 +37,40 @@ def make_mesh(shape: Dict[str, int], devices=None) -> Mesh:
     return Mesh(arr, tuple(shape.keys()))
 
 
+def get_mesh(cfg) -> Optional[Mesh]:
+    """Build the device mesh from cfg.mesh_shape (None -> single device).
+
+    cfg.mesh_shape is e.g. {'dp': 8} (object data-parallelism) — the
+    production integration point for multi-chip runs (drivers honor it via
+    parallel/batched_runner.py).
+    """
+    shape = cfg.get("mesh_shape") if hasattr(cfg, "get") else None
+    if not shape:
+        return None
+    return make_mesh(dict(shape))
+
+
+def dp_size(mesh: Optional[Mesh]) -> int:
+    """Size of the object-parallel axis (1 without a mesh)."""
+    if mesh is None or "dp" not in mesh.axis_names:
+        return 1
+    return mesh.shape["dp"]
+
+
+def dp_sharded(mesh: Optional[Mesh], *arrays):
+    """device_put arrays with the batch axis sharded over dp.
+
+    Inputs sharded this way make every downstream jitted vmapped program
+    (pose optimization, ICP sweeps, metrics) partition its object axis
+    across chips — XLA GSPMD handles the rest; no per-program changes.
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    spec = NamedSharding(mesh, P("dp"))
+    out = tuple(jax.device_put(a, spec) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def sharded_chamfer_l1(x: jnp.ndarray, y: jnp.ndarray, mesh: Mesh,
                        axis: str = "sp") -> jnp.ndarray:
     """Chamfer-L1 with cloud rows sharded over ``axis``.

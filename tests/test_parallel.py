@@ -53,3 +53,78 @@ def test_batched_pose_step_runs_on_mesh():
     # params actually moved
     d = np.abs(np.asarray(out_params["rot6d"]) - np.asarray(params["rot6d"]))
     assert d.max() > 0
+
+
+def _reg_arts(n):
+    from genpc_tpu.pipeline.artifacts import ObjectArtifacts
+    arts = []
+    for i in range(n):
+        r = np.random.default_rng(i)
+        partial = r.normal(size=(256, 3)).astype(np.float32) * 0.2
+        complete = np.concatenate([partial,
+                                   -partial + r.normal(size=(256, 3))
+                                   .astype(np.float32) * 0.02])
+        art = ObjectArtifacts(flag=f"obj{i}", xyz=partial,
+                              rgb=np.full((256, 3), 0.5, np.float32))
+        art.color_xyz = partial
+        art.color_rgb = np.full((256, 3), 0.5, np.float32)
+        art.complete_xyz = complete
+        art.complete_rgb = np.full((len(complete), 3), 0.5, np.float32)
+        arts.append(art)
+    return arts
+
+
+def _tiny_reg_cfg():
+    from genpc_tpu.config import load_config
+    return load_config(
+        save=False, output_path="/tmp/test_ws",
+        trust_aligned_completion=False, glb_sample_points=256,
+        pose_complete_points=64, icp_points=64, pose_iters=3,
+        pose_render_size=32, fused_points=128, fine_scale_steps=2)
+
+
+def test_batched_reg_dp_matches_single_device():
+    """The PRODUCTION batched_reg on a dp mesh must give per-object
+    results identical (up to float noise) to the unsharded run
+    (cfg.mesh_shape integration, VERDICT r1 item 3)."""
+    from genpc_tpu.parallel.batched_runner import batched_reg
+    cfg = _tiny_reg_cfg()
+    arts_ref = _reg_arts(4)
+    batched_reg(cfg, arts_ref, mesh=None)
+
+    devs = jax.devices("cpu")[:4]
+    mesh = make_mesh({"dp": 4}, devices=devs)
+    arts_dp = _reg_arts(4)
+    batched_reg(cfg, arts_dp, mesh=mesh)
+
+    for a, b in zip(arts_ref, arts_dp):
+        assert a.fused_xyz.shape == b.fused_xyz.shape
+        np.testing.assert_allclose(a.fused_xyz, b.fused_xyz, atol=2e-3)
+
+
+def test_stage1_core_dp_matches_single_device():
+    from genpc_tpu.config import load_config
+    from genpc_tpu.geometry.cameras import create_cameras
+    from genpc_tpu.parallel.batched_runner import make_stage1_core
+    cfg = load_config(save=False, output_path="/tmp/test_ws",
+                      view_num=16, downsample_num=128, res=64,
+                      input_points=512, inpaint_iters=10)
+    _, viewpoints = create_cameras(num_views=16, distance=cfg.distance,
+                                   fovy=cfg.fovy, res=cfg.cam_res)
+    r = np.random.default_rng(0)
+    xyz = jnp.asarray(r.normal(size=(2, 512, 3)), jnp.float32) * 0.2
+    rgb = jnp.full((2, 512, 3), 0.5, jnp.float32)
+
+    core = make_stage1_core(cfg, viewpoints)
+    uv0, vp0, raw0, depth0, m10, m20 = core(xyz, rgb)
+
+    mesh = make_mesh({"dp": 2}, devices=jax.devices("cpu")[:2])
+    core_dp = make_stage1_core(cfg, viewpoints, mesh=mesh)
+    from genpc_tpu.parallel.mesh import dp_sharded
+    xyz_d, rgb_d = dp_sharded(mesh, xyz, rgb)
+    uv1, vp1, raw1, depth1, m11, m21 = core_dp(xyz_d, rgb_d)
+
+    np.testing.assert_allclose(np.asarray(vp0), np.asarray(vp1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth0), np.asarray(depth1),
+                               atol=1e-4)

@@ -70,7 +70,7 @@ def pose_loss(params, vert_pos, vert_col, center, partial_xyz,
               footprint=2):
     pts, R, scale = _transform_points(params, vert_pos, center)
     result = render_points(pts, vert_col, radius, camera, gamma=gamma,
-                           footprint=footprint)
+                           footprint=footprint, deterministic=True)
     ref_n, result_n = _normalize_images(ref_img, result)
     mask_result = soft_mask(result_n)
     mask_ref = soft_mask(ref_n)
@@ -90,7 +90,7 @@ def render_reference_image(partial_xyz, partial_col, radius, render_size):
     cam = RenderCamera.default(render_size)
     img = render_points(jnp.asarray(partial_xyz, jnp.float32),
                         jnp.asarray(partial_col, jnp.float32),
-                        radius, cam)
+                        radius, cam, deterministic=True)
     return img, hard_mask(img), cam
 
 
@@ -100,7 +100,7 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
     ref_img, ref_mask, camera = None, None, None
     camera = RenderCamera.default(render_size)
     ref_img = render_points(partial_xyz, partial_col, radius, camera,
-                            footprint=2)
+                            footprint=2, deterministic=True)
     ref_mask = hard_mask(ref_img)
     center = vert_pos.mean(axis=0)
 

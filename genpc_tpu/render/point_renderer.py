@@ -52,14 +52,56 @@ class RenderCamera:
         return cls(jnp.asarray(eye, jnp.float32), focal, render_size)
 
 
-@functools.partial(jax.jit, static_argnames=("footprint",))
+def _segment_accumulate(idx: jnp.ndarray, vals: jnp.ndarray, npix: int
+                        ) -> jnp.ndarray:
+    """Deterministic per-index sum: stable sort + cumsum + unique scatter.
+
+    TPU scatter-add accumulates duplicate indices in a nondeterministic
+    order; over a 200-step Adam trajectory the float noise amplifies into
+    a ±1 CD×100 registration wobble (round-1 STATUS).  Sorting by index
+    fixes the addition order: segment totals are differences of an
+    inclusive cumsum at segment boundaries, written with UNIQUE indices
+    (no accumulation race).  Fully differentiable (gather/cumsum VJPs).
+
+    idx in [0, npix] (npix = dummy slot); returns [npix+1, ...] sums.
+    """
+    order = jnp.argsort(idx)                     # stable in jax
+    idx_s = idx[order]
+    x = vals[order].astype(jnp.float32)
+    # segmented inclusive scan (Hillis-Steele over contiguous segments):
+    # log2(M) shift+add rounds; every partial sum stays WITHIN its
+    # segment, so float error is relative to the pixel's own magnitude
+    # (a global-cumsum difference would leave global-magnitude noise on
+    # near-empty pixels)
+    m = x.shape[0]
+    s = 1
+    while s < m:
+        same = jnp.concatenate([jnp.zeros((s,), bool),
+                                idx_s[s:] == idx_s[:-s]])
+        shifted = jnp.concatenate([jnp.zeros_like(x[:s]), x[:-s]])
+        x = x + jnp.where(same[:, None] if x.ndim == 2 else same,
+                          shifted, 0.0)
+        s *= 2
+    is_last = jnp.concatenate([idx_s[1:] != idx_s[:-1],
+                               jnp.array([True])])
+    drop = npix + 1                              # out-of-bounds marker
+    shape = (npix + 1,) + vals.shape[1:]
+    return jnp.zeros(shape, jnp.float32).at[
+        jnp.where(is_last, idx_s, drop)].set(x, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("footprint", "deterministic"))
 def render_points(points: jnp.ndarray, colors: jnp.ndarray,
                   radius, camera: RenderCamera, gamma: float = 1e-2,
-                  footprint: int = 3) -> jnp.ndarray:
+                  footprint: int = 3, deterministic: bool = False
+                  ) -> jnp.ndarray:
     """Render [N,3] points with [N,3] colors -> [res,res,3] image.
 
     radius: world-space splat radius (scalar or [N]).
     footprint: half-width of the splat window in pixels (K = 2f+1).
+    deterministic: replace scatter-add accumulation with the sorted
+    segment sum (bitwise run-to-run reproducible on TPU; the pose
+    optimizer uses this by default).
     """
     res = camera.res
     pts = jnp.asarray(points, jnp.float32)
@@ -128,9 +170,15 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     w = jnp.where(ok, w_s * jnp.exp(expo), 0.0).reshape(-1)
     idx = idx2d.reshape(-1)
     cols_t = jnp.broadcast_to(cols[None], (K * K, n, 3)).reshape(-1, 3)
-    acc = jnp.zeros((npix + 1, 3), jnp.float32).at[idx].add(
-        w[:, None] * cols_t, mode="drop")
-    wacc = jnp.zeros((npix + 1,), jnp.float32).at[idx].add(w, mode="drop")
+    if deterministic:
+        packed = jnp.concatenate([w[:, None] * cols_t, w[:, None]], axis=-1)
+        seg = _segment_accumulate(idx, packed, npix)
+        acc, wacc = seg[:, :3], seg[:, 3]
+    else:
+        acc = jnp.zeros((npix + 1, 3), jnp.float32).at[idx].add(
+            w[:, None] * cols_t, mode="drop")
+        wacc = jnp.zeros((npix + 1,), jnp.float32).at[idx].add(w,
+                                                              mode="drop")
 
     # background weight: a fixed unit weight at dn=0 (normalized vs dmax=1)
     bg_w = jnp.exp(jnp.float32(-1.0) / gamma) + 1e-8

@@ -129,3 +129,42 @@ def test_masks():
     sm = np.asarray(soft_mask(img))
     assert hm[2, 2] == 1.0 and hm[0, 0] == 0.0
     assert sm[2, 2] > 0.9 and sm[0, 0] < 0.2
+
+
+def test_deterministic_render_matches_scatter():
+    """The sorted segment-sum accumulation must agree with scatter-add
+    (same math, fixed order) in value and gradient."""
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.render.point_renderer import RenderCamera, render_points
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(512, 3)) * 0.3, jnp.float32)
+    cols = jnp.asarray(rng.random((512, 3)), jnp.float32)
+    cam = RenderCamera.default(64)
+    img_s = render_points(pts, cols, 0.02, cam, deterministic=False)
+    img_d = render_points(pts, cols, 0.02, cam, deterministic=True)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_d),
+                               atol=1e-5)
+
+    def loss(p, det):
+        return render_points(p, cols, 0.02, cam, deterministic=det).sum()
+
+    g_s = jax.grad(lambda p: loss(p, False))(pts)
+    g_d = jax.grad(lambda p: loss(p, True))(pts)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), atol=1e-3)
+
+
+def test_pose_optim_repeatable():
+    """Repeated pose optimizations on the same inputs must agree exactly
+    (the deterministic render kills the round-1 +-1 CD wobble source)."""
+    from genpc_tpu.registration.pose_optim import object_pose_optimization
+    rng = np.random.default_rng(5)
+    partial = rng.normal(size=(256, 3)).astype(np.float32) * 0.2
+    complete = np.concatenate([partial, partial * 0.9 + 0.05])
+    col_p = np.full((256, 3), 0.7, np.float32)
+    col_c = np.full((512, 3), 0.6, np.float32)
+    T1 = object_pose_optimization(complete, col_c, partial, col_p,
+                                  iters=20, render_size=64)
+    T2 = object_pose_optimization(complete, col_c, partial, col_p,
+                                  iters=20, render_size=64)
+    np.testing.assert_array_equal(T1, T2)

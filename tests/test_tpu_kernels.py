@@ -61,3 +61,25 @@ def test_chamfer_pallas_large_on_tpu(rng):
     # wherever the index agrees, the recomputed distance is exact fp32
     np.testing.assert_allclose(np.sqrt(np.asarray(dv[0]))[agree],
                                dref[agree], rtol=1e-5, atol=1e-7)
+
+
+def test_deterministic_render_bitwise_on_tpu(rng):
+    """Run-to-run bitwise repeatability of the deterministic render +
+    gradient on the real chip (scatter-add ordering is the round-1
+    wobble source; the sorted path must be exact)."""
+    from genpc_tpu.render.point_renderer import RenderCamera, render_points
+    pts = jnp.asarray(rng.normal(size=(2048, 3)) * 0.3, jnp.float32)
+    cols = jnp.asarray(rng.random((2048, 3)), jnp.float32)
+    cam = RenderCamera.default(224)
+    ptst = jax.device_put(pts, tpu)
+    colst = jax.device_put(cols, tpu)
+
+    def loss(p):
+        return render_points(p, colst, 0.02, cam,
+                             deterministic=True).sum()
+
+    f = jax.jit(jax.value_and_grad(loss))
+    v1, g1 = f(ptst)
+    v2, g2 = f(ptst)
+    assert float(v1) == float(v2)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

@@ -85,9 +85,11 @@ DEFAULTS: Dict[str, Any] = dict(
     inpainter="jax",              # ['jax', 'cv2', 'flux', 'DDNM']
     rembg_model="synthetic",      # ['synthetic', 'rmbg', 'rembg']
     control_model="synthetic",    # ['synthetic', 'controlnet', 'adapter', 'flux', 'qwen']
-    generative_model="synthetic", # ['synthetic', 'instantmesh', 'trellis', 'sf3d']
+    generative_model="synthetic", # ['synthetic', 'instantmesh', 'trellis', 'trellis_2', 'sf3d']
     # TPU rebuild additions
     visibility="zbuffer",          # ['zbuffer' (TPU), 'hpr' (exact, host hull)]
+    select_coarse_points=2500,     # coarse pass FPS prefix (ops/hpr.py select_best_view)
+    select_topk=48,                # views re-scored at full density
     metric_points=16384,           # FPS size for CD/EMD eval (reference: main.py:21-22)
     fused_points=20000,            # fusion FPS size (reference: reg_xyz.py:215)
     glb_sample_points=163840,      # GLB surface samples (reference: reg_xyz.py:125)

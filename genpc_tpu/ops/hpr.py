@@ -102,6 +102,35 @@ def auto_zbuffer_res(n_points: int) -> int:
     return int(np.clip(0.8 * np.sqrt(n_points), 32, 160))
 
 
+@functools.partial(jax.jit, static_argnames=("n_coarse", "topk"))
+def select_best_view(points: jnp.ndarray, viewpoints: jnp.ndarray,
+                     n_coarse: int = 2500, topk: int = 48) -> jnp.ndarray:
+    """Coarse-to-exact viewpoint selection: argmax visible count over views.
+
+    TPU scatter cost is proportional to the update count, so running the
+    full-density z-buffer for all V views (V·N·9 updates) dominates batched
+    Stage 1.  Instead: a coarse pass on an FPS *prefix* of the points
+    (``fps_indices`` returns selection order, so ``points[:n_coarse]`` is
+    itself an FPS sample) with no splat footprint ranks all views cheaply;
+    the exact kernel then re-scores only the ``topk`` coarse candidates at
+    full density.  ~6x fewer scatter updates at 10k points / 1024 views.
+
+    points [N,3] must be FPS-ordered; viewpoints [V,3].
+    Returns the int32 index of the best view (reference semantics:
+    DepthPrompting.py:87-98 — argmax of per-view visible counts).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    views = jnp.asarray(viewpoints, jnp.float32)
+    nc = min(n_coarse, pts.shape[0])
+    k = min(topk, views.shape[0])
+    coarse = visible_points_zbuffer(
+        pts[:nc], views, res=auto_zbuffer_res(nc), splat=0)
+    _, cand = jax.lax.top_k(coarse.sum(-1), k)
+    exact = visible_points_zbuffer(
+        pts, views[cand], res=auto_zbuffer_res(pts.shape[0]), splat=1)
+    return cand[jnp.argmax(exact.sum(-1))].astype(jnp.int32)
+
+
 def visible_points(points, viewpoints, radius_param: float,
                    method: str = "zbuffer", res: int | None = None):
     """Dispatch: 'zbuffer' (TPU, batched) or 'hpr' (exact, host loop).

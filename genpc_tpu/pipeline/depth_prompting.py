@@ -70,11 +70,22 @@ class DepthPrompting:
     # ------------------------------------------------------------------
     def viewpoint_select(self, xyz: np.ndarray) -> int:
         """Best viewpoint = argmax of visible-point count over the rig
-        (reference: DepthPrompting.py:87-98)."""
-        sampled, _ = farthest_point_sample(xyz, self.cfg.downsample_num)
+        (reference: DepthPrompting.py:87-98).
+
+        The zbuffer path uses the coarse-to-exact two-stage selector
+        (ops/hpr.py select_best_view); 'hpr' runs the exact Katz host
+        loop over every view for parity checks.
+        """
+        cfg = self.cfg
+        sampled, _ = farthest_point_sample(xyz, cfg.downsample_num)
+        if cfg.get("visibility", "zbuffer") == "zbuffer":
+            from genpc_tpu.ops.hpr import select_best_view
+            return int(select_best_view(
+                jnp.asarray(sampled), jnp.asarray(self.viewpoints),
+                n_coarse=int(cfg.get("select_coarse_points", 2500)),
+                topk=int(cfg.get("select_topk", 48))))
         vis = visible_points(np.asarray(sampled), self.viewpoints,
-                             self.cfg.removal_radius,
-                             method=self.cfg.get("visibility", "zbuffer"))
+                             cfg.removal_radius, method="hpr")
         return int(vis.sum(axis=1).argmax())
 
     # ------------------------------------------------------------------

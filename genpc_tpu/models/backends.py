@@ -60,9 +60,7 @@ def get_image23d(name: str, cfg: Any = None):
     if name in ("trellis", "trellis_2"):
         from genpc_tpu.models.trellis import TrellisBackend
         return TrellisBackend(cfg, variant=name)
-    if name in ("sf3d", "hunyuan2.0"):
-        raise NotImplementedError(
-            f"generative_model {name!r}: the reference wraps an external "
-            f"checkout with no vendored weights; use 'instantmesh', "
-            f"'trellis' or 'synthetic'")
+    if name == "sf3d":
+        from genpc_tpu.models.sf3d import SF3DBackend
+        return SF3DBackend(cfg)
     raise ValueError(f"unknown generative_model {name!r}")

@@ -645,6 +645,21 @@ def load_trellis(weights_dir: str, params):
     return params
 
 
+def load_sf3d(weights_dir: str, params):
+    """Graft SF3D weights into models/sf3d.py if present.
+
+    The reference's sf3d path wraps an external Stable-Fast-3D checkout
+    with no vendored weights (reference: ScaleAdapter.py:26-37); like
+    load_trellis this is a best-effort graft over the generic rename
+    table for same-shaped tensors.
+    """
+    p = os.path.join(weights_dir, "sf3d")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        params = graft_weights(params, tensors, _SDXL_RENAMES, "sf3d")
+    return params
+
+
 def load_matting(weights_dir: str, params):
     """Graft RMBG-2.0 (BiRefNet) into models/birefnet.py (strict).
 

@@ -31,15 +31,13 @@ def test_rembg_registry_constructs(name):
 
 
 @pytest.mark.parametrize("name", ["synthetic", "instantmesh", "trellis",
-                                  "trellis_2"])
+                                  "trellis_2", "sf3d"])
 def test_image23d_registry_constructs(name):
     backend = get_image23d(name, TINY)
     assert callable(backend)
 
 
 def test_image23d_unported_names_raise_cleanly():
-    with pytest.raises(NotImplementedError):
-        get_image23d("sf3d", TINY)
     with pytest.raises(ValueError):
         get_image23d("nonsense", TINY)
     with pytest.raises(ValueError):
@@ -48,8 +46,9 @@ def test_image23d_unported_names_raise_cleanly():
         get_rembg("nonsense", TINY)
 
 
-def test_trellis_backend_generates_mesh():
-    backend = get_image23d("trellis", TINY)
+@pytest.mark.parametrize("name", ["trellis", "sf3d"])
+def test_image23d_backend_generates_mesh(name):
+    backend = get_image23d(name, TINY)
     rng = np.random.default_rng(0)
     img = rng.random((64, 64, 4)).astype(np.float32)
     mesh = backend("testflag", img)

@@ -150,3 +150,31 @@ def test_densify():
     assert len(out) == 350
     more, cols = linear_interpolation(pts, np.ones_like(pts) * 0.5)
     assert len(more) == 200 and len(cols) == 200
+
+
+# ------------------------------------------------------------- debug vis
+
+def test_vis_actors_renders_png(tmp_path):
+    """Headless vtk_basic parity (reference: utils/vtk_basic.py:172,431,
+    488,531,797,876): every actor type renders into one PNG."""
+    from genpc_tpu.vis import (
+        ArrowActor, BoxActor, MeshActor, colorful_pc_actor, pc_actor,
+        vis_actors, vis_scenes)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    mesh = MeshActor(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                          np.float32),
+        faces=np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]),
+        vertex_colors=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                                [1, 1, 0]], np.float32))
+    actors = [colorful_pc_actor(pts), pc_actor(pts[:50], color=(1, 0, 0)),
+              mesh, BoxActor(np.array([0, 0, 0, 2, 2, 2, 0.3])),
+              ArrowActor(np.zeros(3), np.array([0, 0, 1.5]))]
+    out = tmp_path / "scene.png"
+    img = vis_actors(actors, save_path=str(out), info="debug")
+    assert out.exists() and out.stat().st_size > 1000
+    assert img.ndim == 3 and img.shape[2] == 3 and img.std() > 1.0
+
+    grid = vis_scenes([actors[:2], actors[2:]], titles=["pc", "geo"])
+    assert grid.shape[2] == 3

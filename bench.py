@@ -88,6 +88,35 @@ def main():
     cd_fast, emd_fast = quality(results_fast)
     opm_fast = len(flags) / wall_fast * 60.0
 
+    # Waymo LiDAR (BASELINE config 5): >=20 CAR scans with the synthetic
+    # backends through the per-object lidar driver; UHD has no GT protocol
+    # on Waymo so partial->completion UHD is the quality signal
+    # (reference: main_lidar.py:87-89, metric.py:105-132)
+    waymo_extra = None
+    waymo_dir = os.environ.get("GENPC_WAYMO",
+                               os.path.join(data_dir, "waymo"))
+    if os.path.isdir(os.path.join(waymo_dir, "CAR")):
+        from genpc_tpu.main_lidar import list_scans, run_lidar
+        lidar_yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "configs", "lidar.yaml")
+        lidar_cfg = load_config(
+            lidar_yaml if os.path.exists(lidar_yaml) else None,
+            trust_aligned_completion=False, **base)
+        car_flags = list_scans(
+            waymo_dir, "CAR",
+            limit=int(os.environ.get("GENPC_WAYMO_LIMIT", "20")))
+        t0 = time.time()
+        import contextlib
+        with contextlib.redirect_stdout(sys.stderr):  # one-JSON-line contract
+            uhds = run_lidar(lidar_cfg, car_flags, waymo_dir, "CAR")
+        waymo_wall = time.time() - t0
+        waymo_extra = {
+            "category": "CAR", "objects": len(car_flags),
+            "avg_uhd_x100": round(float(np.mean(list(uhds.values()))) * 100, 3),
+            "objects_per_min": round(len(car_flags) / waymo_wall * 60.0, 3),
+            "wall_s": round(waymo_wall, 1),
+            "note": "per-object driver, cold (single pass incl. compile)"}
+
     # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50)
     import jax
     import jax.numpy as jnp
@@ -116,6 +145,7 @@ def main():
                 "avg_cd_x100": cd_fast, "avg_emd_x100": emd_fast,
                 "wall_s": round(wall_fast, 1)},
             "emd_16384_ms_per_call": round(emd_ms, 1),
+            "waymo_lidar": waymo_extra,
             "excluded": EXCLUDED_FLAGS,
             "vs_baseline_note": "ratio vs the 5 obj/min/chip TARGET "
                                 "(no measured reference-GPU number exists)",

@@ -69,7 +69,6 @@ def _bid_phase(x1: jnp.ndarray, x2: jnp.ndarray, price: jnp.ndarray
     return (bid.reshape(-1)[:n], best.reshape(-1)[:n], better.reshape(-1)[:n])
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
 def _emd_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = x1.shape[0]
@@ -117,27 +116,38 @@ def _emd_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int
     return dist, assignment
 
 
-@jax.custom_vjp
-def _emd_core(x1, x2, eps: float, iters: int):
-    return jax.vmap(lambda a, b: _emd_single(a, b, eps, iters))(x1, x2)
+@functools.lru_cache(maxsize=None)
+def _emd_core(eps: float, iters: int):
+    """Jitted batched auction for a given (eps, iters) envelope.
 
+    eps/iters close over the custom_vjp instead of riding as operands:
+    non-array custom_vjp args re-enter tracing machinery on every shape
+    retrace, and an inner per-sample jit's cache-equality check on
+    sharding metadata raised spuriously when the same envelope was
+    reused across differently-shaped callers.  One top-level jit, array
+    operands only.
+    """
 
-def _emd_fwd(x1, x2, eps, iters):
-    dist, assignment = _emd_core(x1, x2, eps, iters)
-    return (dist, assignment), (x1, x2, assignment)
+    @jax.custom_vjp
+    def core(x1, x2):
+        return jax.vmap(lambda a, b: _emd_single(a, b, eps, iters))(x1, x2)
 
+    def fwd(x1, x2):
+        dist, assignment = core(x1, x2)
+        return (dist, assignment), (x1, x2, assignment)
 
-def _emd_bwd(res, cot):
-    x1, x2, assignment = res
-    g = cot[0]
-    matched = jnp.take_along_axis(
-        x2.astype(jnp.float32), jnp.maximum(assignment, 0)[..., None], axis=1)
-    # reference emd_cuda.cu:284-300: grad wrt xyz1 only
-    gx1 = 2.0 * g[..., None] * (x1.astype(jnp.float32) - matched)
-    return gx1, jnp.zeros_like(x2), None, None
+    def bwd(res, cot):
+        x1, x2, assignment = res
+        g = cot[0]
+        matched = jnp.take_along_axis(
+            x2.astype(jnp.float32),
+            jnp.maximum(assignment, 0)[..., None], axis=1)
+        # reference emd_cuda.cu:284-300: grad wrt xyz1 only
+        gx1 = 2.0 * g[..., None] * (x1.astype(jnp.float32) - matched)
+        return gx1, jnp.zeros_like(x2)
 
-
-_emd_core.defvjp(_emd_fwd, _emd_bwd)
+    core.defvjp(fwd, bwd)
+    return jax.jit(core)
 
 
 def emd_auction(xyz1, xyz2, eps: float = 0.005, iters: int = 50
@@ -154,7 +164,7 @@ def emd_auction(xyz1, xyz2, eps: float = 0.005, iters: int = 50
         x1, x2 = x1[None], x2[None]
     if x1.shape[1] != x2.shape[1]:
         raise ValueError("EMD requires equally sized point clouds")
-    dist, assignment = _emd_core(x1, x2, float(eps), int(iters))
+    dist, assignment = _emd_core(float(eps), int(iters))(x1, x2)
     if squeeze:
         return dist[0], assignment[0]
     return dist, assignment

@@ -37,7 +37,7 @@ from genpc_tpu.pipeline.registration import resample_fixed
 from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
 from genpc_tpu.registration.icp import _coarse_one, _fine_one
 from genpc_tpu.registration.pose_optim import (
-    _optimize_all_starts, build_transform, rotation_6d_to_matrix)
+    build_transform, rotation_6d_to_matrix)
 
 POSE_N = 2048
 ICP_N = 2048
@@ -45,22 +45,56 @@ ICP_N = 2048
 
 # ------------------------------------------------------------ batched ops
 
-@functools.partial(jax.jit, static_argnames=("iters", "render_size"))
-def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
-                       iters: int, render_size: int):
-    """[B,...] pose optimization; returns best 4x4 per object [B,4,4]."""
-    params, best = jax.vmap(
-        lambda c, cc, p, pc: _optimize_all_starts(
-            c, cc, p, pc, radius, lr, iters, render_size)
-    )(comp, comp_col, part, part_col)
+@functools.partial(jax.jit, static_argnames=("render_size",))
+def _bpose_init(comp, comp_col, part, part_col, radius, lr,
+                render_size: int):
+    from genpc_tpu.registration.pose_optim import pose_carry_init
+    return jax.vmap(lambda c, cc, p, pc: pose_carry_init(
+        c, cc, p, pc, radius, lr, render_size))(comp, comp_col, part,
+                                                part_col)
 
+
+@functools.partial(jax.jit, static_argnames=("steps", "render_size"),
+                   donate_argnums=(0,))
+def _bpose_steps(carry, comp, comp_col, part, radius, lr,
+                 steps: int, render_size: int):
+    from genpc_tpu.registration.pose_optim import pose_carry_steps
+    return jax.vmap(lambda ca, c, cc, p: pose_carry_steps(
+        ca, c, cc, p, radius, lr, steps, render_size))(carry, comp,
+                                                       comp_col, part)
+
+
+@jax.jit
+def _bpose_pick(carry):
     def pick(params, best):
         k = jnp.argmin(best)
         R = rotation_6d_to_matrix(params["rot6d"][k])
         s = jnp.exp(params["log_scale"][k])[0]
         return build_transform(R, params["trans"][k], s)
 
-    return jax.vmap(pick)(params, best)
+    return jax.vmap(pick)(carry["best_params"], carry["best"])
+
+
+def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
+                       iters: int, render_size: int,
+                       chunk: int | None = None):
+    """[B,...] pose optimization; returns best 4x4 per object [B,4,4].
+
+    Host-chunked: one fused 200-step program for a 13-object batch is a
+    ~2 min single device execution, which trips the tunnel watchdog and
+    kills the TPU worker — so the loop runs as POSE_CHUNK-step jitted
+    segments (identical math, one compile, short executions)."""
+    from genpc_tpu.registration.pose_optim import POSE_CHUNK
+    chunk = chunk or POSE_CHUNK
+    carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
+                        render_size)
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        carry = _bpose_steps(carry, comp, comp_col, part, radius, lr,
+                             n, render_size)
+        done += n
+    return _bpose_pick(carry)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -399,7 +433,8 @@ def make_stage1_core(cfg, viewpoints: np.ndarray, mesh=None):
     """
     import math
     from genpc_tpu.geometry.cameras import rescale_uvs
-    from genpc_tpu.ops.hpr import auto_zbuffer_res, visible_points_zbuffer
+    from genpc_tpu.ops.hpr import (
+        auto_zbuffer_res, select_best_view, visible_points_zbuffer)
     from genpc_tpu.render.inpaint import diffusion_inpaint
     from genpc_tpu.render.splat import raw_depth_images, uvs_to_pixels
 
@@ -411,17 +446,17 @@ def make_stage1_core(cfg, viewpoints: np.ndarray, mesh=None):
     mask_rate = int(cfg.mask_pixel_rate)
     padding = float(cfg.padding)
     inpaint_iters = int(cfg.get("inpaint_iters", 250))
-    sel_res = auto_zbuffer_res(n_ds)
+    sel_coarse = int(cfg.get("select_coarse_points", 2500))
+    sel_topk = int(cfg.get("select_topk", 48))
 
     def core(xyz, rgb):
-        # viewpoint selection on an FPS downsample
+        # viewpoint selection on an FPS downsample: coarse-to-exact
+        # two-stage z-buffer (ops/hpr.py) — full-density scoring of all
+        # 1024 views was the dominant batched-stage-1 cost
         sidx = batched_fps(xyz, n_ds)
         sampled = jnp.take_along_axis(xyz, sidx[..., None], axis=1)
-        # lax.map, not vmap: the 1024-view scatter intermediates are
-        # ~0.8 GB per object — vmapping the batch would blow HBM
-        vis = jax.lax.map(lambda p: visible_points_zbuffer(
-            p, views, res=sel_res), sampled)           # [B,V,n_ds]
-        best = vis.sum(-1).argmax(-1)                  # [B]
+        best = jax.vmap(lambda p: select_best_view(
+            p, views, n_coarse=sel_coarse, topk=sel_topk))(sampled)  # [B]
         vp = views[best]                               # [B,3]
 
         def per_object(pts, cols, eye):

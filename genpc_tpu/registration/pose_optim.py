@@ -94,24 +94,36 @@ def render_reference_image(partial_xyz, partial_col, radius, render_size):
     return img, hard_mask(img), cam
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "render_size"))
-def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
-                         radius, lr, iters: int, render_size: int):
-    ref_img, ref_mask, camera = None, None, None
-    camera = RenderCamera.default(render_size)
-    ref_img = render_points(partial_xyz, partial_col, radius, camera,
-                            footprint=2, deterministic=True)
-    ref_mask = hard_mask(ref_img)
-    center = vert_pos.mean(axis=0)
-
-    init_rots = jnp.stack([rot6d_from_axis_angle("y", 90.0 * s)
-                           for s in range(4)])
-
-    tx = optax.multi_transform(
+def _make_tx(lr):
+    return optax.multi_transform(
         {"rot": optax.adam(lr), "trans": optax.adam(lr * 0.2),
          "scale": optax.adam(lr * 0.1)},
         {"rot6d": "rot", "trans": "trans", "log_scale": "scale"},
     )
+
+
+# A single device execution must stay well under the tunnel/runtime
+# watchdog (~1 min kills the TPU worker, observed at 200 fused steps for
+# a 13-object batch), so the optimization runs as host-chunked segments
+# of one jitted program: same math as one fused loop (fori_loop segments
+# compose), one compile, short executions.
+POSE_CHUNK = 25
+
+
+def pose_carry_init(vert_pos, vert_col, partial_xyz, partial_col,
+                    radius, lr, render_size: int):
+    """Initial optimization state for the 4 multi-starts (one object).
+
+    The reference image/mask render once here and ride in the carry
+    (the fused version re-rendered them per jit call).
+    """
+    camera = RenderCamera.default(render_size)
+    ref_img = render_points(partial_xyz, partial_col, radius, camera,
+                            footprint=2, deterministic=True)
+    ref_mask = hard_mask(ref_img)
+    init_rots = jnp.stack([rot6d_from_axis_angle("y", 90.0 * s)
+                           for s in range(4)])
+    tx = _make_tx(lr)
 
     def one_start(rot_init):
         params = {
@@ -119,14 +131,30 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
             "trans": jnp.zeros(3, jnp.float32),
             "log_scale": jnp.log(jnp.full((1,), 0.75, jnp.float32)),
         }
-        opt_state = tx.init(params)
+        return params, tx.init(params)
 
+    params, opt_state = jax.vmap(one_start)(init_rots)
+    return {"params": params, "opt": opt_state,
+            "best": jnp.full((4,), jnp.inf, jnp.float32),
+            "best_params": params,
+            "ref_img": ref_img, "ref_mask": ref_mask}
+
+
+def pose_carry_steps(carry, vert_pos, vert_col, partial_xyz,
+                     radius, lr, steps: int, render_size: int):
+    """Advance all 4 starts by `steps` Adam iterations (one object)."""
+    camera = RenderCamera.default(render_size)
+    center = vert_pos.mean(axis=0)
+    tx = _make_tx(lr)
+    ref_img, ref_mask = carry["ref_img"], carry["ref_mask"]
+
+    def one_start(params, opt_state, best, best_params):
         # carry the best-loss PARAMS, not just the best loss: the
         # reference keeps best_transformation over the trajectory
         # (diff_obj_pose.py:547-567); returning the final params would
         # ship a worse pose whenever the trajectory degrades late.
-        def step(_, carry):
-            params, opt_state, best, best_params = carry
+        def step(_, c):
+            params, opt_state, best, best_params = c
             loss, grads = jax.value_and_grad(pose_loss)(
                 params, vert_pos, vert_col, center, partial_xyz,
                 ref_img, ref_mask, camera, radius)
@@ -138,12 +166,35 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
             params = optax.apply_updates(params, updates)
             return params, opt_state, best, best_params
 
-        _, _, best, best_params = jax.lax.fori_loop(
-            0, iters, step, (params, opt_state, jnp.float32(jnp.inf),
-                             params))
-        return best_params, best
+        return jax.lax.fori_loop(0, steps, step,
+                                 (params, opt_state, best, best_params))
 
-    return jax.vmap(one_start)(init_rots)
+    params, opt, best, best_params = jax.vmap(one_start)(
+        carry["params"], carry["opt"], carry["best"], carry["best_params"])
+    return {"params": params, "opt": opt, "best": best,
+            "best_params": best_params,
+            "ref_img": ref_img, "ref_mask": ref_mask}
+
+
+_pose_init_jit = jax.jit(pose_carry_init, static_argnames=("render_size",))
+_pose_steps_jit = jax.jit(pose_carry_steps,
+                          static_argnames=("steps", "render_size"),
+                          donate_argnums=(0,))
+
+
+def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
+                         radius, lr, iters: int, render_size: int,
+                         chunk: int = POSE_CHUNK):
+    """Host-chunked multi-start optimization; returns (best_params, best)."""
+    carry = _pose_init_jit(vert_pos, vert_col, partial_xyz, partial_col,
+                           radius, lr, render_size)
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        carry = _pose_steps_jit(carry, vert_pos, vert_col, partial_xyz,
+                                radius, lr, n, render_size)
+        done += n
+    return carry["best_params"], carry["best"]
 
 
 def object_pose_optimization(complete_xyz, complete_col,

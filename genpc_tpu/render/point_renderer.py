@@ -52,42 +52,74 @@ class RenderCamera:
         return cls(jnp.asarray(eye, jnp.float32), focal, render_size)
 
 
-def _segment_accumulate(idx: jnp.ndarray, vals: jnp.ndarray, npix: int
-                        ) -> jnp.ndarray:
-    """Deterministic per-index sum: stable sort + cumsum + unique scatter.
+def _quantized_sums(idx: jnp.ndarray, vals: jnp.ndarray, npix: int
+                    ) -> jnp.ndarray:
+    """Per-pixel-scaled fixed-point scatter-add: bitwise deterministic.
 
-    TPU scatter-add accumulates duplicate indices in a nondeterministic
-    order; over a 200-step Adam trajectory the float noise amplifies into
-    a ±1 CD×100 registration wobble (round-1 STATUS).  Sorting by index
-    fixes the addition order: segment totals are differences of an
-    inclusive cumsum at segment boundaries, written with UNIQUE indices
-    (no accumulation race).  Fully differentiable (gather/cumsum VJPs).
+    TPU scatter-add accumulates duplicate float indices in a
+    nondeterministic order; over a 200-step Adam trajectory the float
+    noise amplifies into a ±1 CD×100 registration wobble (round-1
+    STATUS).  INTEGER addition is exactly associative and commutative,
+    so an int scatter-add is order-independent.  A global fixed-point
+    scale cannot give the near-empty "splat tail" pixels (total weight
+    ~1e-8) relative precision, so each pixel first gets its own scale:
+    a scatter-MAX (fp max is associative — also deterministic) finds the
+    largest contribution per pixel, every element is quantized RELATIVE
+    to its pixel's max with two fixed-point words (main 2^15 + residual
+    2^12), and the int sums are rescaled back.  Per-pixel error is
+    ≤ n·2⁻²⁸ RELATIVE to the pixel's own magnitude (~2e-7 at 50
+    contributions) for every pixel, bright or near-empty.  Cost: one
+    extra scatter-max + gather over the nondeterministic path (a
+    sorted-segment-scan alternative was 10× slower at run time and took
+    minutes to compile).
 
-    idx in [0, npix] (npix = dummy slot); returns [npix+1, ...] sums.
+    Envelope: vals ≥ 0 with each row bounded by its pixel's max over
+    the LAST channel (here: w·rgb ≤ w); ≤ 2¹⁶ contributions per pixel
+    before int32 overflow.  idx in [0, npix] (npix = dummy slot);
+    returns [npix+1, ...] float32 sums.
     """
-    order = jnp.argsort(idx)                     # stable in jax
-    idx_s = idx[order]
-    x = vals[order].astype(jnp.float32)
-    # segmented inclusive scan (Hillis-Steele over contiguous segments):
-    # log2(M) shift+add rounds; every partial sum stays WITHIN its
-    # segment, so float error is relative to the pixel's own magnitude
-    # (a global-cumsum difference would leave global-magnitude noise on
-    # near-empty pixels)
-    m = x.shape[0]
-    s = 1
-    while s < m:
-        same = jnp.concatenate([jnp.zeros((s,), bool),
-                                idx_s[s:] == idx_s[:-s]])
-        shifted = jnp.concatenate([jnp.zeros_like(x[:s]), x[:-s]])
-        x = x + jnp.where(same[:, None] if x.ndim == 2 else same,
-                          shifted, 0.0)
-        s *= 2
-    is_last = jnp.concatenate([idx_s[1:] != idx_s[:-1],
-                               jnp.array([True])])
-    drop = npix + 1                              # out-of-bounds marker
-    shape = (npix + 1,) + vals.shape[1:]
-    return jnp.zeros(shape, jnp.float32).at[
-        jnp.where(is_last, idx_s, drop)].set(x, mode="drop")
+    s1 = jnp.float32(32768.0)       # 2^15 main word
+    s2 = jnp.float32(4096.0)        # 2^12 residual word
+    v = vals.astype(jnp.float32)
+    w = v[..., -1]                  # per-element bound (the splat weight)
+    pmax = jnp.zeros((npix + 1,), jnp.float32).at[idx].max(w, mode="drop")
+    scale = jnp.maximum(pmax[idx], jnp.float32(1e-30))[:, None]
+    u = v / scale                   # every channel ≤ 1
+    q1 = jnp.round(u * s1)          # exact: u*s1 ≤ 2^15 < 2^24
+    q2 = jnp.round((u * s1 - q1) * s2)
+    # one fused scatter over both words (scatter cost on TPU is the op
+    # count, not the update width)
+    c = vals.shape[-1]
+    q = jnp.concatenate([q1, q2], axis=-1).astype(jnp.int32)
+    acc = jnp.zeros((npix + 1, 2 * c), jnp.int32).at[idx].add(
+        q, mode="drop")
+    a1, a2 = acc[:, :c], acc[:, c:]
+    sums = (a1.astype(jnp.float32) + a2.astype(jnp.float32) / s2) / s1
+    return sums * pmax[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _segment_accumulate(idx, vals, npix: int):
+    """Deterministic per-index sum with the float scatter-add's VJP.
+
+    The forward value is the quantized integer accumulation
+    (_quantized_sums); the gradient is exactly scatter-add's: gather the
+    output cotangent at each element's index (the VJP of a sum does not
+    depend on forward values, so it is both exact and deterministic).
+    """
+    return _quantized_sums(idx, vals, npix)
+
+
+def _segment_accumulate_fwd(idx, vals, npix: int):
+    return _quantized_sums(idx, vals, npix), idx
+
+
+def _segment_accumulate_bwd(npix, idx, g):
+    import numpy as np
+    return (np.zeros(idx.shape, jax.dtypes.float0), g[idx])
+
+
+_segment_accumulate.defvjp(_segment_accumulate_fwd, _segment_accumulate_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("footprint", "deterministic"))
@@ -99,9 +131,9 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
 
     radius: world-space splat radius (scalar or [N]).
     footprint: half-width of the splat window in pixels (K = 2f+1).
-    deterministic: replace scatter-add accumulation with the sorted
-    segment sum (bitwise run-to-run reproducible on TPU; the pose
-    optimizer uses this by default).
+    deterministic: replace float scatter-add accumulation with the
+    fixed-point integer accumulate (bitwise run-to-run reproducible on
+    TPU at scatter-add speed; the pose optimizer uses this by default).
     """
     res = camera.res
     pts = jnp.asarray(points, jnp.float32)

@@ -69,8 +69,11 @@ def pose_loss(params, vert_pos, vert_col, center, partial_xyz,
               ref_img, ref_mask, camera, radius, gamma=1e-2,
               footprint=2):
     pts, R, scale = _transform_points(params, vert_pos, center)
+    # 'slots' renderer: bitwise deterministic by construction (fixed
+    # accumulation order) and ~1.6x faster than the scatter path on TPU
+    # (Pallas tile kernel, render/splat_kernel.py)
     result = render_points(pts, vert_col, radius, camera, gamma=gamma,
-                           footprint=footprint, deterministic=True)
+                           footprint=footprint, method="slots")
     ref_n, result_n = _normalize_images(ref_img, result)
     mask_result = soft_mask(result_n)
     mask_ref = soft_mask(ref_n)
@@ -90,7 +93,7 @@ def render_reference_image(partial_xyz, partial_col, radius, render_size):
     cam = RenderCamera.default(render_size)
     img = render_points(jnp.asarray(partial_xyz, jnp.float32),
                         jnp.asarray(partial_col, jnp.float32),
-                        radius, cam, deterministic=True)
+                        radius, cam, method="slots")
     return img, hard_mask(img), cam
 
 
@@ -119,7 +122,7 @@ def pose_carry_init(vert_pos, vert_col, partial_xyz, partial_col,
     """
     camera = RenderCamera.default(render_size)
     ref_img = render_points(partial_xyz, partial_col, radius, camera,
-                            footprint=2, deterministic=True)
+                            footprint=2, method="slots")
     ref_mask = hard_mask(ref_img)
     init_rots = jnp.stack([rot6d_from_axis_angle("y", 90.0 * s)
                            for s in range(4)])

@@ -122,22 +122,10 @@ def _segment_accumulate_bwd(npix, idx, g):
 _segment_accumulate.defvjp(_segment_accumulate_fwd, _segment_accumulate_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("footprint", "deterministic"))
-def render_points(points: jnp.ndarray, colors: jnp.ndarray,
-                  radius, camera: RenderCamera, gamma: float = 1e-2,
-                  footprint: int = 3, deterministic: bool = False
-                  ) -> jnp.ndarray:
-    """Render [N,3] points with [N,3] colors -> [res,res,3] image.
-
-    radius: world-space splat radius (scalar or [N]).
-    footprint: half-width of the splat window in pixels (K = 2f+1).
-    deterministic: replace float scatter-add accumulation with the
-    fixed-point integer accumulate (bitwise run-to-run reproducible on
-    TPU at scatter-add speed; the pose optimizer uses this by default).
-    """
+def _project_attrs(points, radius, camera, footprint: int):
+    """Shared projection: continuous pixel centers + splat parameters."""
     res = camera.res
     pts = jnp.asarray(points, jnp.float32)
-    cols = jnp.asarray(colors, jnp.float32)
     rad = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (pts.shape[0],))
 
     # camera at eye looking at origin, up +y  (x right, y up, z toward cam)
@@ -147,18 +135,243 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     py = (-pts[:, 1] * camera.focal / depth) * half + half - 0.5  # +y is up
 
     # pixel-space splat radius; clamp into [0.3, footprint]
-    rad_pix = jnp.clip(rad * camera.focal / depth * half, 0.3, float(footprint))
+    rad_pix = jnp.clip(rad * camera.focal / depth * half, 0.3,
+                       float(footprint))
     sigma2 = (rad_pix * 0.6) ** 2
 
     # Pulsar-style depth weight, normalized to [0,1] (1 = closest)
-    dn = jnp.clip((camera.zfar - depth) / (camera.zfar - camera.znear), 0.0, 1.0)
+    dn = jnp.clip((camera.zfar - depth) / (camera.zfar - camera.znear),
+                  0.0, 1.0)
+    in_front = depth > camera.znear
+    return px, py, dn, sigma2, in_front
 
+
+def _build_table(px, py, dn, sigma2, cols, in_front, res: int, f: int,
+                 slots: int):
+    """Per-pixel slot table: ([S,CH,H,W] padded table, keep mask [N]).
+
+    Points scatter ONE attribute record each into their center pixel's
+    next free slot (stable-sort rank; single-writer set — no
+    accumulation race).  Out-of-image centers are clamped for storage
+    (true window membership is re-checked at assembly).  keep marks
+    points that landed in the table (in front, rank < slots).
+    """
+    npix = res * res
+    n = px.shape[0]
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    ixc = jnp.clip(ix, 0, res - 1)
+    iyc = jnp.clip(iy, 0, res - 1)
+    cpix = jnp.where(in_front, iyc * res + ixc, npix)
+    order = jnp.argsort(cpix)                    # stable
+    cs = cpix[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), cs[1:] != cs[:-1]])
+    rank = ar - jax.lax.cummax(jnp.where(first, ar, 0))
+    valid = (cs < npix) & (rank < slots)
+    # slot-major flat index so the reshape to [CH,S,res,res] needs no
+    # transpose; channel/slot dims LEADING keeps the (res,res) dims
+    # minor, which tiles cleanly as T(8,128) (a trailing [S,CH] pair
+    # pads ~17x)
+    slot = jnp.where(valid, rank * npix + cs, slots * npix)
+
+    # channels: px py dn sigma2 r g b — sigma2 > 0 doubles as presence
+    # (real points have sigma2 >= (0.3*0.6)^2; empty slots are zero)
+    attrs = jnp.stack([px, py, dn, sigma2, cols[:, 0], cols[:, 1],
+                       cols[:, 2]], axis=0)[:, order]
+    table = jnp.zeros((7, slots * npix + 1), jnp.float32).at[:, slot].set(
+        jnp.where(valid[None, :], attrs, 0.0), mode="drop")
+    T = table[:, :slots * npix].reshape(7, slots, res, res)
+    Tp = jnp.pad(T, ((0, 0), (0, 0), (f, f), (f, f))).transpose(1, 0, 2, 3)
+    keep = jnp.zeros((n,), bool).at[order].set(valid)
+    return Tp, keep    # Tp: [S, CH, H, W]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _slots_pallas(px, py, dn, sigma2, cols, in_front, res: int, f: int,
+                  slots: int, gamma: float):
+    """Pallas-assembled slot render: attrs -> (acc [3,r,r], wacc [r,r]).
+
+    Forward = slot table + the Pallas tile kernel
+    (render/splat_kernel.py).  Backward = point-centric XLA gathers:
+    each point reads the output cotangents over its (2f+1)² window and
+    re-derives its weight chain — all gathers (the fast TPU direction;
+    scatter with computed indices serializes, and a backward Pallas
+    kernel hung the Mosaic compiler).
+    """
+    (acc, wacc), _ = _slots_pallas_fwd(px, py, dn, sigma2, cols, in_front,
+                                       res, f, slots, gamma)
+    return acc, wacc
+
+
+def _slots_pallas_fwd(px, py, dn, sigma2, cols, in_front, res, f, slots,
+                      gamma):
+    from genpc_tpu.render.splat_kernel import assemble
+    Tp, keep = _build_table(px, py, dn, sigma2, cols, in_front, res, f,
+                            slots)
+    (acc, wacc), dmax = assemble(Tp[None], res, f, slots, gamma)
+    out = (acc[0], wacc[0])
+    return out, (px, py, dn, sigma2, cols, keep, dmax[0])
+
+
+def _slots_pallas_bwd(res, f, slots, gamma, resids, cots):
+    px, py, dn, sigma2, cols, keep, dmax = resids
+    g_acc, g_wacc = cots
+    K = 2 * f + 1
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    dys = jnp.arange(-f, f + 1, dtype=jnp.int32)
+    oy = jnp.repeat(dys, K)[:, None]
+    ox = jnp.tile(dys, K)[:, None]
+    qyg = iy[None, :] + oy                    # [K²,N]
+    qxg = ix[None, :] + ox
+    inb = (qxg >= 0) & (qxg < res) & (qyg >= 0) & (qyg < res)
+    # clamped-placement reach: out-of-image centers are stored clamped,
+    # so the assembly only covers pixels within ±f of the CLAMPED pixel
+    ixc = jnp.clip(ix, 0, res - 1)
+    iyc = jnp.clip(iy, 0, res - 1)
+    reach = ((jnp.abs(qxg - ixc[None, :]) <= f)
+             & (jnp.abs(qyg - iyc[None, :]) <= f))
+    qidx = jnp.where(inb, qyg * res + qxg, 0)
+    gaf = g_acc.reshape(3, -1)
+    gar, gag, gab = gaf[0][qidx], gaf[1][qidx], gaf[2][qidx]
+    gw_out = g_wacc.reshape(-1)[qidx]
+    dm = dmax.reshape(-1)[qidx]
+    qxf = qxg.astype(jnp.float32)
+    qyf = qyg.astype(jnp.float32)
+    d2 = (px[None, :] - qxf) ** 2 + (py[None, :] - qyf) ** 2
+    s2c = jnp.maximum(2.0 * sigma2, 1e-12)[None, :]
+    w_s = jnp.exp(-d2 / s2c)
+    okm = inb & reach & keep[None, :] & (w_s > 1e-4)
+    expo_raw = (dn[None, :] - dm) / gamma
+    e = jnp.exp(jnp.minimum(expo_raw, 0.0))
+    w = jnp.where(okm, w_s * e, 0.0)
+    gw = jnp.where(okm, gar * cols[:, 0][None, :]
+                   + gag * cols[:, 1][None, :]
+                   + gab * cols[:, 2][None, :] + gw_out, 0.0)
+    dw_s = gw * e
+    dd2 = dw_s * w_s * (-1.0 / s2c)
+    d_px = (dd2 * 2.0 * (px[None, :] - qxf)).sum(0)
+    d_py = (dd2 * 2.0 * (py[None, :] - qyf)).sum(0)
+    # jnp.minimum's VJP splits the cotangent 50/50 at exact ties
+    # (lax._balanced_eq), and the front point of every pixel ties
+    # exactly (its dn IS dmax) — replicate for gradient parity
+    tie_w = jnp.where(expo_raw < 0.0, 1.0,
+                      jnp.where(expo_raw == 0.0, 0.5, 0.0))
+    d_dn = (tie_w * gw * w_s * e / gamma).sum(0)
+    d_s2 = (dw_s * w_s * (d2 / (s2c * s2c)) * 2.0).sum(0)
+    d_cols = jnp.stack([(w * gar).sum(0), (w * gag).sum(0),
+                        (w * gab).sum(0)], axis=-1)
+    import numpy as np
+    d_infront = np.zeros(keep.shape, dtype=jax.dtypes.float0)
+    return d_px, d_py, d_dn, d_s2, d_cols, d_infront
+
+
+_slots_pallas.defvjp(_slots_pallas_fwd, _slots_pallas_bwd)
+
+
+def _render_slots(points, colors, radius, camera, gamma: float,
+                  footprint: int, slots: int) -> jnp.ndarray:
+    """Slotted center-scatter + dense shifted assembly (TPU default).
+
+    XLA:TPU lowers scatter-add with in-program-computed indices through a
+    SERIALIZED emitter (~20M updates/s measured — 300× below the
+    vectorized path), so the classic K²N footprint scatter dominates the
+    pose-optimization step.  This formulation scatters only one
+    attribute record per POINT into per-pixel slots (N tiny updates),
+    then assembles the image with K² statically-shifted dense passes
+    over the [res,res,S] table — pure slices/elementwise, no large
+    scatter anywhere (forward or VJP).  Accumulation order is fixed by
+    the program (offsets × slots), so the result is bitwise
+    deterministic without quantization.
+
+    Points sharing a center pixel occupy successive slots (stable-sort
+    rank); beyond `slots` they are dropped — pose inputs are 0.02-voxel
+    downsamples (~3px spacing at 224²), which keeps occupancy ≤2.
+    """
+    res = camera.res
+    f = footprint
+    cols = jnp.asarray(colors, jnp.float32)
+    px, py, dn, sigma2, in_front = _project_attrs(points, radius, camera,
+                                                  footprint)
+
+    from genpc_tpu.runtime import use_pallas
+    from genpc_tpu.render.splat_kernel import pick_panel, pick_strip
+    bg_w = jnp.exp(jnp.float32(-1.0) / gamma) + 1e-8
+    if (use_pallas() and pick_strip(res) is not None
+            and pick_panel(res, f) is not None):
+        acc, wacc = _slots_pallas(px, py, dn, sigma2, cols, in_front,
+                                  res, f, slots, float(gamma))
+        img = acc / (wacc + bg_w)[None]
+        return jnp.moveaxis(img, 0, -1)
+
+    Tp, _ = _build_table(px, py, dn, sigma2, cols, in_front, res, f,
+                         slots)
+
+    qx = jnp.arange(res, dtype=jnp.float32)[None, None, :]
+    qy = jnp.arange(res, dtype=jnp.float32)[None, :, None]
+    offs = [(oy, ox) for oy in range(-f, f + 1) for ox in range(-f, f + 1)]
+
+    def contrib(tp, oy, ox, with_depth):
+        # Sh[:, :, q] = T[:, :, q - (oy,ox)]: points centered (oy,ox)
+        # away from pixel q
+        sh = jax.lax.dynamic_slice(tp, (0, 0, f - oy, f - ox),
+                                   (slots, 7, res, res))
+        pxs, pys = sh[:, 0], sh[:, 1]
+        dns, s2 = sh[:, 2], sh[:, 3]
+        col = sh[:, 4:7]
+        pres = s2 > 0
+        ixf = jnp.floor(pxs)
+        iyf = jnp.floor(pys)
+        win = ((jnp.abs(qx - ixf) <= f) & (jnp.abs(qy - iyf) <= f))
+        if with_depth is None:
+            # depth pass: max dn over present in-image centers in window
+            center_in = ((ixf >= 0) & (ixf <= res - 1)
+                         & (iyf >= 0) & (iyf <= res - 1))
+            okm = pres & center_in & win
+            return jnp.where(okm, dns, -1.0).max(0)
+        d2 = (pxs - qx) ** 2 + (pys - qy) ** 2
+        w_s = jnp.exp(-d2 / jnp.maximum(2.0 * s2, 1e-12))
+        ok = pres & win & (w_s > 1e-4)
+        expo = jnp.minimum((dns - with_depth[None]) / gamma, 0.0)
+        w = jnp.where(ok, w_s * jnp.exp(expo), 0.0)
+        return (w[:, None] * col).sum(0), w.sum(0)
+
+    # pass 1: per-pixel depth max (≡ scatter path's center scatter-max +
+    # (2f+1)² dilation); carries no gradient
+    Tsg = jax.lax.stop_gradient(Tp)
+    dmax = jnp.full((res, res), -1.0, jnp.float32)
+    for oy, ox in offs:
+        dmax = jnp.maximum(dmax, contrib(Tsg, oy, ox, None))
+    dmax = jax.lax.stop_gradient(dmax)
+
+    # pass 2: fixed-order weighted accumulation; each offset is
+    # checkpointed so the VJP recomputes its weights from the table
+    # instead of saving 25 [S,res,res] residual stacks
+    acc = jnp.zeros((3, res, res), jnp.float32)
+    wacc = jnp.zeros((res, res), jnp.float32)
+    for oy, ox in offs:
+        a, ww = jax.checkpoint(
+            functools.partial(contrib, oy=oy, ox=ox, with_depth=dmax)
+        )(Tp)
+        acc = acc + a
+        wacc = wacc + ww
+
+    img = acc / (wacc + bg_w)[None]
+    return jnp.moveaxis(img, 0, -1)
+
+
+def _render_scatter(points, colors, radius, camera, gamma: float,
+                    footprint: int, deterministic: bool) -> jnp.ndarray:
+    """Footprint scatter-add renderer (reference formulation)."""
+    res = camera.res
+    cols = jnp.asarray(colors, jnp.float32)
+    px, py, dn, sigma2, in_front = _project_attrs(points, radius, camera,
+                                                  footprint)
     ix = jnp.floor(px).astype(jnp.int32)
     iy = jnp.floor(py).astype(jnp.int32)
     npix = res * res
-    in_front = depth > camera.znear
-
-    n = pts.shape[0]
+    n = px.shape[0]
     K = 2 * footprint + 1
 
     # pass 1: per-pixel depth max = ONE center-pixel scatter-max followed
@@ -216,6 +429,32 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray,
     bg_w = jnp.exp(jnp.float32(-1.0) / gamma) + 1e-8
     img = acc[:npix] / (wacc[:npix] + bg_w)[:, None]
     return img.reshape(res, res, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "footprint",
+                                             "deterministic", "method",
+                                             "slots"))
+def render_points(points: jnp.ndarray, colors: jnp.ndarray,
+                  radius, camera: RenderCamera, gamma: float = 1e-2,
+                  footprint: int = 3, deterministic: bool = False,
+                  method: str = "scatter", slots: int = 6) -> jnp.ndarray:
+    """Render [N,3] points with [N,3] colors -> [res,res,3] image.
+
+    radius: world-space splat radius (scalar or [N]).
+    footprint: half-width of the splat window in pixels (K = 2f+1).
+    method: 'scatter' (default) — the classic K²N footprint scatter
+      (reference formulation), with `deterministic` selecting
+      fixed-point integer accumulation.  'slots' — slotted
+      center-scatter + dense shifted assembly, backed by the Pallas
+      tile kernel on TPU (render/splat_kernel.py): bitwise
+      deterministic by construction and ~100x faster forward; still
+      being validated end-to-end before becoming the default.
+    """
+    if method == "slots":
+        return _render_slots(points, colors, radius, camera, gamma,
+                             footprint, slots)
+    return _render_scatter(points, colors, radius, camera, gamma,
+                           footprint, deterministic)
 
 
 def luminance(img: jnp.ndarray) -> jnp.ndarray:

@@ -394,6 +394,69 @@ def run_batched(cfg, flags: List[str], data_dir: str,
     return results
 
 
+def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
+                      batch: Optional[int] = None
+                      ) -> Dict[str, Dict[str, float]]:
+    """Waymo LiDAR pipeline with batched stages (reference: main_lidar.py).
+
+    Same batched execution as run_batched, but scans load from
+    data_dir/category and — LiDAR has no GT — quality is the
+    partial->completion UHD (reference: metric.py:105-132), computed as
+    one batched NN program over repeat-padded clouds (duplicates never
+    change a max-of-min).
+    """
+    from genpc_tpu.categories import get_category
+    from genpc_tpu.ops.chamfer import chamfer_nn
+    from genpc_tpu.parallel.mesh import dp_sharded, dp_size, get_mesh
+    mesh = get_mesh(cfg)
+    dp = DepthPrompting(cfg)
+    sa = ScaleAdapter(cfg)
+    n_in = int(cfg.get("input_points", 65536))
+
+    arts = []
+    for flag in flags:
+        xyz, rgb = load_xyz(os.path.join(data_dir, category, f"{flag}.ply"))
+        rng = np.random.default_rng(0)
+        idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
+        arts.append(ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx]))
+    n_real = len(arts)
+    pad = (-n_real) % dp_size(mesh)
+    for i in range(pad):
+        src = arts[-1]
+        arts.append(ObjectArtifacts(flag=f"_pad{i}", xyz=src.xyz,
+                                    rgb=src.rgb))
+    real_arts = arts[:n_real]
+
+    batched_stage1(cfg, arts, dp.viewpoints, dp=dp, mesh=mesh)
+    for art in real_arts:
+        art.image = np.asarray(dp.depth2image.generate(
+            art.depth, get_category(art.flag), size=int(cfg.generate_res)))
+    for art in arts[n_real:]:
+        art.image = real_arts[-1].image
+    sa.scale_adapter_batch(arts)
+    batch = batch or len(arts)
+    for i in range(0, len(arts), batch):
+        batched_reg(cfg, arts[i:i + batch], mesh=mesh)
+    arts = real_arts
+
+    def pad_repeat(clouds):
+        n = max(len(c) for c in clouds)
+        return np.stack([np.concatenate(
+            [c, np.tile(c, (-(-n // len(c)) - 1, 1))[: n - len(c)]])
+            for c in clouds])
+
+    partials = pad_repeat([np.asarray(a.xyz, np.float32) for a in arts])
+    fused = pad_repeat([np.asarray(a.fused_xyz, np.float32) for a in arts])
+    bpad = (-len(partials)) % dp_size(mesh)
+    if bpad:
+        partials = np.concatenate([partials] + [partials[-1:]] * bpad)
+        fused = np.concatenate([fused] + [fused[-1:]] * bpad)
+    p_d, f_d = dp_sharded(mesh, jnp.asarray(partials), jnp.asarray(fused))
+    d2, _, _, _ = jax.jit(chamfer_nn)(p_d, f_d)
+    h = np.sqrt(np.maximum(np.asarray(d2), 0.0)).max(axis=1)
+    return {a.flag: {"uhd": float(h[i])} for i, a in enumerate(arts)}
+
+
 # -------------------------------------------------------- batched stage 1
 
 def _jnp_up_vector(eye):

@@ -128,3 +128,30 @@ def test_stage1_core_dp_matches_single_device():
     np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth0), np.asarray(depth1),
                                atol=1e-4)
+
+
+def test_run_batched_lidar_uhd():
+    """Batched Waymo runner end-to-end on 2 real CAR scans (tiny config):
+    produces fused clouds and finite UHD per scan (reference flow:
+    main_lidar.py:87-89 with UHD instead of GT metrics)."""
+    import os
+    from genpc_tpu.config import load_config
+    from genpc_tpu.main_lidar import list_scans
+    from genpc_tpu.parallel.batched_runner import run_batched_lidar
+    data_dir = "/root/reference/data/waymo"
+    if not os.path.isdir(os.path.join(data_dir, "CAR")):
+        pytest.skip("no waymo data")
+    cfg = load_config(
+        save=False, output_path="/tmp/test_ws_lidar",
+        control_model="synthetic", rembg_model="synthetic",
+        generative_model="synthetic", trust_aligned_completion=False,
+        view_num=16, downsample_num=256, res=64, cam_res=64,
+        generate_res=64, input_points=1024, inpaint_iters=10,
+        glb_sample_points=512, pose_complete_points=64, icp_points=64,
+        pose_iters=3, pose_render_size=32, fused_points=256,
+        fine_scale_steps=2, metric_points=256)
+    flags = list_scans(data_dir, "CAR", limit=2)
+    res = run_batched_lidar(cfg, flags, data_dir, "CAR")
+    assert set(res) == set(flags)
+    for m in res.values():
+        assert np.isfinite(m["uhd"]) and m["uhd"] >= 0

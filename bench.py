@@ -89,37 +89,33 @@ def main():
     opm_fast = len(flags) / wall_fast * 60.0
 
     # Waymo LiDAR (BASELINE config 5): >=20 CAR scans with the synthetic
-    # backends through the per-object lidar driver; UHD has no GT protocol
+    # backends through the BATCHED lidar runner; UHD has no GT protocol
     # on Waymo so partial->completion UHD is the quality signal
-    # (reference: main_lidar.py:87-89, metric.py:105-132)
+    # (reference: main_lidar.py:87-89, metric.py:105-132).  Runs in a
+    # subprocess with a hard timeout so a hung remote compile (the axon
+    # compile helper serializes and can wedge for an hour) can never
+    # take the headline JSON line down with it.
     waymo_extra = None
     waymo_dir = os.environ.get("GENPC_WAYMO",
                                os.path.join(data_dir, "waymo"))
     if os.path.isdir(os.path.join(waymo_dir, "CAR")):
-        from genpc_tpu.main_lidar import list_scans
-        from genpc_tpu.parallel.batched_runner import run_batched_lidar
-        lidar_yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "configs", "lidar.yaml")
-        lidar_cfg = load_config(
-            lidar_yaml if os.path.exists(lidar_yaml) else None,
-            trust_aligned_completion=False, **base)
-        car_flags = list_scans(
-            waymo_dir, "CAR",
-            limit=int(os.environ.get("GENPC_WAYMO_LIMIT", "20")))
-        t0 = time.time()
-        run_batched_lidar(lidar_cfg, car_flags, waymo_dir, "CAR")
-        print(f"warm-up (waymo batched): {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        t0 = time.time()
-        uhds = run_batched_lidar(lidar_cfg, car_flags, waymo_dir, "CAR")
-        waymo_wall = time.time() - t0
-        waymo_extra = {
-            "category": "CAR", "objects": len(car_flags),
-            "avg_uhd_x100": round(float(np.mean(
-                [m["uhd"] for m in uhds.values()])) * 100, 3),
-            "objects_per_min": round(len(car_flags) / waymo_wall * 60.0, 3),
-            "wall_s": round(waymo_wall, 1),
-            "note": "batched lidar runner, warm timed pass"}
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "bench_waymo.py")],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("GENPC_WAYMO_TIMEOUT", "1500")),
+                env={**os.environ, "GENPC_BENCH_WS": out_dir},
+                cwd=here)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            line = proc.stdout.strip().splitlines()
+            waymo_extra = json.loads(line[-1]) if line else None
+        except subprocess.TimeoutExpired:
+            waymo_extra = {"note": "skipped: waymo subprocess timed out "
+                                   "(wedged remote compile helper)"}
+        except Exception as e:  # noqa: BLE001
+            waymo_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
 
     # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50)
     import jax

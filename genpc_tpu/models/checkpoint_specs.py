@@ -134,6 +134,92 @@ def spec_qwen_transformer(cfg) -> Spec:
     return s
 
 
+# -------------------------------------------------------------------- T5
+
+def spec_t5_encoder(cfg) -> Spec:
+    """HF T5EncoderModel (google/t5-v1_1-xxl class) — FLUX `text_encoder_2`
+    (reference: tools/flux_depth.py:19-22 loads the int4 T5-XXL whose
+    dequantized state dict has exactly these keys).
+
+    Safetensors serialization drops the tied `encoder.embed_tokens.weight`
+    duplicate; only `shared.weight` ships.  All projections bias-free;
+    norms are RMS (weight only); the relative-attention bias embedding
+    exists on block 0 only and is shared by every layer.
+    """
+    d = cfg.d_model
+    inner = cfg.num_heads * cfg.d_kv
+    s: Spec = {}
+    s["shared.weight"] = (cfg.vocab_size, d)
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}"
+        for proj, shape in (("q", (inner, d)), ("k", (inner, d)),
+                            ("v", (inner, d)), ("o", (d, inner))):
+            s[f"{b}.layer.0.SelfAttention.{proj}.weight"] = shape
+        if i == 0:
+            s[f"{b}.layer.0.SelfAttention.relative_attention_bias"
+              ".weight"] = (cfg.rel_buckets, cfg.num_heads)
+        s[f"{b}.layer.0.layer_norm.weight"] = (d,)
+        s[f"{b}.layer.1.DenseReluDense.wi_0.weight"] = (cfg.d_ff, d)
+        s[f"{b}.layer.1.DenseReluDense.wi_1.weight"] = (cfg.d_ff, d)
+        s[f"{b}.layer.1.DenseReluDense.wo.weight"] = (d, cfg.d_ff)
+        s[f"{b}.layer.1.layer_norm.weight"] = (d,)
+    s["encoder.final_layer_norm.weight"] = (d,)
+    return s
+
+
+# ------------------------------------------------------------ Qwen2.5-VL
+
+def spec_qwen_vl_text(cfg) -> Spec:
+    """Qwen2.5-VL language tower (Qwen-Image-Edit `text_encoder`;
+    reference: tools/qwen_depth.py:50-62).  transformers>=4.52 layout
+    (`model.language_model.*`); the converter also accepts the legacy
+    `model.*` prefix.  q/k/v biased, o/gate/up/down unbiased, RMS norms.
+    The untied `lm_head.weight` ships in the checkpoint but is dropped —
+    prompt encoding reads hidden states, never logits.
+    """
+    d = cfg.hidden
+    hd = cfg.head_dim
+    s: Spec = {}
+    s["model.language_model.embed_tokens.weight"] = (cfg.vocab_size, d)
+    for i in range(cfg.layers):
+        b = f"model.language_model.layers.{i}"
+        _linear(s, f"{b}.self_attn.q_proj", cfg.heads * hd, d)
+        _linear(s, f"{b}.self_attn.k_proj", cfg.kv_heads * hd, d)
+        _linear(s, f"{b}.self_attn.v_proj", cfg.kv_heads * hd, d)
+        _linear(s, f"{b}.self_attn.o_proj", d, cfg.heads * hd, bias=False)
+        s[f"{b}.input_layernorm.weight"] = (d,)
+        s[f"{b}.post_attention_layernorm.weight"] = (d,)
+        _linear(s, f"{b}.mlp.gate_proj", cfg.intermediate, d, bias=False)
+        _linear(s, f"{b}.mlp.up_proj", cfg.intermediate, d, bias=False)
+        _linear(s, f"{b}.mlp.down_proj", d, cfg.intermediate, bias=False)
+    s["model.language_model.norm.weight"] = (d,)
+    return s
+
+
+def spec_qwen_vl_vision(cfg) -> Spec:
+    """Qwen2.5-VL vision tower (`model.visual.*`): Conv3D patch embed
+    (bias-free), RMS-normed window-attention blocks with fused biased
+    qkv and biased gated MLP, and the 2x2 merger MLP."""
+    d = cfg.vit_dim
+    s: Spec = {}
+    s["model.visual.patch_embed.proj.weight"] = \
+        (d, 3, cfg.temporal_patch, cfg.patch, cfg.patch)
+    for i in range(cfg.vit_depth):
+        b = f"model.visual.blocks.{i}"
+        s[f"{b}.norm1.weight"] = (d,)
+        _linear(s, f"{b}.attn.qkv", 3 * d, d)
+        _linear(s, f"{b}.attn.proj", d, d)
+        s[f"{b}.norm2.weight"] = (d,)
+        _linear(s, f"{b}.mlp.gate_proj", cfg.vit_ffn, d)
+        _linear(s, f"{b}.mlp.up_proj", cfg.vit_ffn, d)
+        _linear(s, f"{b}.mlp.down_proj", d, cfg.vit_ffn)
+    s["model.visual.merger.ln_q.weight"] = (d,)
+    mm = cfg.merge ** 2
+    _linear(s, "model.visual.merger.mlp.0", mm * d, mm * d)
+    _linear(s, "model.visual.merger.mlp.2", cfg.hidden, mm * d)
+    return s
+
+
 # ------------------------------------------------------------------ CLIP
 
 def spec_clip_text(cfg) -> Spec:

@@ -93,6 +93,35 @@ class FeedForward(nn.Module):
         return tp_dense(self.dim, name="proj_out", shard="in")(h)
 
 
+class RefBank:
+    """Reference-attention token store (zero123plus conditioning).
+
+    The zero123plus pipeline runs the UNet twice per step: a WRITE pass
+    on the noised condition latents records every self-attention's
+    post-norm hidden states; the READ pass on the sample concatenates
+    the recorded tokens into each attn1's key/value sequence
+    (reference: tools/instantmesh.py:83-86 — the custom zero123plus
+    pipeline's ReferenceOnlyAttnProc).  Both passes traverse the UNet in
+    the same order, so a positional bank replaces the name-keyed dict.
+    """
+
+    def __init__(self, mode: str, tokens=None):
+        assert mode in ("w", "r")
+        self.mode = mode
+        self.tokens = [] if tokens is None else list(tokens)
+        self._i = 0
+
+    def visit(self, h):
+        """WRITE: record h, return None.  READ: return the recorded
+        tokens for this attention site."""
+        if self.mode == "w":
+            self.tokens.append(h)
+            return None
+        t = self.tokens[self._i]
+        self._i += 1
+        return t
+
+
 class TransformerBlock(nn.Module):
     """Self-attn + cross-attn + FF, pre-LayerNorm (BasicTransformerBlock)."""
     dim: int
@@ -100,9 +129,14 @@ class TransformerBlock(nn.Module):
     context_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
-        x = x + Attention(self.dim, self.heads, name="attn1")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm1")(x))
+    def __call__(self, x, context=None, ref: Optional[RefBank] = None):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        ctx1 = None
+        if ref is not None:
+            r = ref.visit(h)
+            if r is not None:
+                ctx1 = jnp.concatenate([h, r.astype(h.dtype)], axis=1)
+        x = x + Attention(self.dim, self.heads, name="attn1")(h, ctx1)
         x = x + Attention(self.dim, self.heads, name="attn2")(
             nn.LayerNorm(dtype=jnp.float32, name="norm2")(x), context)
         x = x + FeedForward(self.dim, name="ff")(
@@ -118,7 +152,7 @@ class SpatialTransformer(nn.Module):
     context_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, ref: Optional[RefBank] = None):
         b, h, w, c = x.shape
         residual = x
         x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm")(x)
@@ -127,7 +161,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x = TransformerBlock(self.dim, self.heads,
                                  context_dim=self.context_dim,
-                                 name=f"blocks_{i}")(x, context)
+                                 name=f"blocks_{i}")(x, context, ref)
         x = x.reshape(b, h, w, self.dim)
         x = nn.Dense(c, dtype=jnp.bfloat16, name="proj_out")(x)
         return x + residual

@@ -31,16 +31,28 @@ def betas_scaled_linear(num_train: int = 1000, beta_start: float = 0.00085,
 
 @dataclass
 class EulerAncestral:
-    """Euler-ancestral sampler over the discrete sigma schedule."""
+    """Euler-ancestral sampler over the discrete sigma schedule.
+
+    spacing='linspace' + prediction='epsilon' is the SDXL ControlNet
+    configuration; spacing='trailing' + prediction='v' is zero123plus
+    (reference: tools/instantmesh.py:89-91 re-creates the scheduler with
+    timestep_spacing='trailing'; the v1.2 checkpoint predicts v).
+    """
     num_steps: int
     num_train: int = 1000
+    spacing: str = "linspace"
+    prediction: str = "epsilon"
 
     def __post_init__(self):
         betas = betas_scaled_linear(self.num_train)
         alphas_cum = np.cumprod(1.0 - betas)
         sigmas_full = np.sqrt((1 - alphas_cum) / alphas_cum)
-        # linspace over the training timesteps (diffusers default spacing)
-        ts = np.linspace(0, self.num_train - 1, self.num_steps)[::-1]
+        if self.spacing == "trailing":
+            ts = (np.arange(self.num_train, 0,
+                            -self.num_train / self.num_steps)
+                  .round() - 1).astype(np.float64)
+        else:   # diffusers default 'linspace'
+            ts = np.linspace(0, self.num_train - 1, self.num_steps)[::-1]
         sig = np.interp(ts, np.arange(self.num_train), sigmas_full)
         self.timesteps = jnp.asarray(ts, jnp.float32)
         self.sigmas = jnp.asarray(np.append(sig, 0.0), jnp.float32)
@@ -49,11 +61,24 @@ class EulerAncestral:
     def scale_model_input(self, sample, i):
         return sample / jnp.sqrt(self.sigmas[i] ** 2 + 1.0)
 
-    def step(self, eps, i, sample, noise):
+    def add_noise(self, x0, noise, i):
+        """Noise clean latents to step i's level (diffusers Euler
+        convention: UNSCALED sample = x0 + sigma*noise; feed through
+        scale_model_input before the model)."""
+        return x0 + self.sigmas[i] * noise
+
+    def pred_x0(self, model_out, i, sample):
+        sigma = self.sigmas[i]
+        if self.prediction == "v":
+            return (sample / (sigma ** 2 + 1.0)
+                    - model_out * sigma / jnp.sqrt(sigma ** 2 + 1.0))
+        return sample - sigma * model_out
+
+    def step(self, model_out, i, sample, noise):
         """One ancestral step; noise ~ N(0,1) same shape as sample."""
         sigma = self.sigmas[i]
         sigma_next = self.sigmas[i + 1]
-        pred_x0 = sample - sigma * eps
+        pred_x0 = self.pred_x0(model_out, i, sample)
         var = jnp.maximum(sigma_next ** 2 * (sigma ** 2 - sigma_next ** 2)
                           / jnp.maximum(sigma ** 2, 1e-12), 0.0)
         sigma_up = jnp.sqrt(var)

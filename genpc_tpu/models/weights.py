@@ -292,6 +292,142 @@ def convert_clip_text(tensors: Dict[str, np.ndarray]
     return {clip_name_to_flax(k): v for k, v in tensors.items()}
 
 
+# ------------------------------------------------------------ Qwen2.5-VL
+
+def qwen_vl_name_to_flax(name: str) -> str:
+    """Qwen2_5_VLForConditionalGeneration key -> our flax path
+    (models/qwen_vl.py).  Accepts both the transformers>=4.52 layout
+    (model.language_model.* / model.visual.*) and the legacy one
+    (model.* / visual.*)."""
+    n = name
+    n = re.sub(r"^model\.language_model\.", "lm.", n)
+    n = re.sub(r"^model\.visual\.", "visual.", n)
+    if n.startswith("model."):                 # legacy text prefix
+        n = "lm." + n[len("model."):]
+    if n.startswith("lm."):
+        r = n[3:]
+        r = re.sub(r"^layers\.(\d+)\.", r"layers_\1.", r)
+        r = re.sub(r"\.self_attn\.([qkvo])_proj\.", r".\1.", r)
+        r = re.sub(r"\.input_layernorm\.", ".attn_norm.", r)
+        r = re.sub(r"\.post_attention_layernorm\.", ".mlp_norm.", r)
+        r = re.sub(r"\.mlp\.(gate|up|down)_proj\.", r".\1.", r)
+        r = r.replace(".", "/")
+        if r.endswith("/weight"):
+            if r == "embed_tokens/weight":
+                leaf = "embedding"
+            elif re.search(r"(^|/)(attn_norm|mlp_norm|norm)/weight$", r):
+                leaf = "scale"
+            else:
+                leaf = "kernel"
+            r = r[: -len("weight")] + leaf
+        return "params/" + r
+    if n.startswith("visual."):
+        r = n[len("visual."):]
+        r = re.sub(r"^patch_embed\.proj\.", "patch_proj.", r)
+        r = re.sub(r"^blocks\.(\d+)\.", r"blocks_\1.", r)
+        r = re.sub(r"\.attn\.", ".", r)
+        r = re.sub(r"\.mlp\.(gate|up|down)_proj\.", r".\1.", r)
+        r = re.sub(r"^merger\.ln_q\.", "ln_q.", r)
+        r = re.sub(r"^merger\.mlp\.0\.", "merger_0.", r)
+        r = re.sub(r"^merger\.mlp\.2\.", "merger_2.", r)
+        r = r.replace(".", "/")
+        if r.endswith("/weight"):
+            leaf = ("scale" if re.search(
+                r"(^|/)(norm1|norm2|ln_q)/weight$", r) else "kernel")
+            r = r[: -len("weight")] + leaf
+        return "params/" + r
+    return n
+
+
+def convert_qwen_vl(tensors: Dict[str, np.ndarray]
+                    ) -> Tuple[Dict[str, np.ndarray],
+                               Dict[str, np.ndarray]]:
+    """-> (text tensors, vision tensors) keyed by flax path.  Flattens
+    the Conv3D patch embed to the Dense layout and drops lm_head (the
+    encoder never computes logits) + rotary buffers."""
+    text, vision = {}, {}
+    for k, v in tensors.items():
+        if k in ("lm_head.weight",) or "rotary_emb" in k:
+            continue
+        fname = qwen_vl_name_to_flax(k)
+        if fname == "params/patch_proj/kernel":
+            v = v.reshape(v.shape[0], -1)          # (D, C*T*P*P)
+        if "visual" in k:
+            vision[fname] = v
+        else:
+            text[fname] = v
+    return text, vision
+
+
+def load_qwen_vl(weights_dir: str, params_text, params_vision):
+    """Graft Qwen2.5-VL (strict): <weights_dir>/text_encoder holds the
+    Qwen2_5_VLForConditionalGeneration safetensors (reference runtime:
+    tools/qwen_depth.py:55-57 QwenImageEditPlusPipeline.from_pretrained)."""
+    p = os.path.join(weights_dir, "text_encoder")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        text, vision = convert_qwen_vl(tensors)
+        params_text = graft_weights(params_text, text, {}, "qwen-vl-text",
+                                    strict=True)
+        params_vision = graft_weights(params_vision, vision, {},
+                                      "qwen-vl-vision", strict=True)
+    return params_text, params_vision
+
+
+# -------------------------------------------------------------------- T5
+
+def t5_name_to_flax(name: str) -> str:
+    """HF T5EncoderModel key -> our flax path (models/t5.py; inventory:
+    checkpoint_specs.spec_t5_encoder)."""
+    n = name
+    if n in ("shared.weight", "encoder.embed_tokens.weight"):
+        return "params/shared/embedding"
+    if n == "encoder.final_layer_norm.weight":
+        return "params/final_layer_norm/scale"
+    m = re.match(
+        r"encoder\.block\.(\d+)\.layer\.0\.SelfAttention\."
+        r"relative_attention_bias\.weight$", n)
+    if m:
+        return "params/rel_bias"
+    m = re.match(r"encoder\.block\.(\d+)\.layer\.0\.SelfAttention\."
+                 r"([qkvo])\.weight$", n)
+    if m:
+        return f"params/block_{m.group(1)}/attn/{m.group(2)}/kernel"
+    m = re.match(r"encoder\.block\.(\d+)\.layer\.0\.layer_norm\.weight$", n)
+    if m:
+        return f"params/block_{m.group(1)}/attn_norm/scale"
+    m = re.match(r"encoder\.block\.(\d+)\.layer\.1\.DenseReluDense\."
+                 r"(wi_0|wi_1|wo)\.weight$", n)
+    if m:
+        return f"params/block_{m.group(1)}/{m.group(2)}/kernel"
+    m = re.match(r"encoder\.block\.(\d+)\.layer\.1\.layer_norm\.weight$", n)
+    if m:
+        return f"params/block_{m.group(1)}/ff_norm/scale"
+    return n
+
+
+def convert_t5(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {t5_name_to_flax(k): v for k, v in tensors.items()}
+
+
+def load_t5_and_clip_l(weights_dir: str, params_t5, params_l):
+    """Graft the FLUX text towers (strict): <weights_dir>/text_encoder_2
+    (T5-XXL) + <weights_dir>/text_encoder (CLIP-L)."""
+    p = os.path.join(weights_dir, "text_encoder_2")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        tensors.pop("encoder.embed_tokens.weight", None)  # tied duplicate
+        params_t5 = graft_weights(params_t5, convert_t5(tensors), {},
+                                  "t5-xxl", strict=True)
+    p = os.path.join(weights_dir, "text_encoder")
+    if os.path.isdir(p):
+        tensors = _load_safetensors_dir(p)
+        tensors.pop("text_model.embeddings.position_ids", None)
+        params_l = graft_weights(params_l, convert_clip_text(tensors), {},
+                                 "clip-l", strict=True)
+    return params_t5, params_l
+
+
 def sdxl_unet_name_to_flax(name: str, num_levels: int = 3) -> str:
     """diffusers UNet2DConditionModel parameter name -> our flax path.
 

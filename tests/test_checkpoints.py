@@ -349,3 +349,157 @@ def test_strict_graft_raises_on_miss():
     with pytest.raises(ValueError, match="failed to graft"):
         graft_weights(params, {"bogus.weight": np.zeros((3, 3))}, {},
                       "strict-test", strict=True)
+
+
+# ------------------------------------------------------------------- T5
+
+def test_t5_conversion_tiny_values():
+    from genpc_tpu.models.t5 import T5Config, T5Encoder
+    from genpc_tpu.models.weights import convert_t5, t5_name_to_flax
+    cfg = T5Config.preset("tiny")
+    model = T5Encoder(cfg)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), bool)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    spec = specs.spec_t5_encoder(cfg)
+    converted_shapes = {t5_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(params), converted_shapes, "t5-tiny")
+    before = model.apply(params, ids, mask)
+    params2 = graft_weights(params, convert_t5(synthetic_checkpoint(spec)),
+                            {}, "t5-test", strict=True)
+    after = model.apply(params2, ids, mask)
+    assert float(jnp.abs(before - after).max()) > 1e-6
+    assert np.isfinite(np.asarray(after)).all()
+
+
+def test_t5_conversion_full_shapes():
+    from genpc_tpu.models.t5 import T5Config, T5Encoder
+    from genpc_tpu.models.weights import t5_name_to_flax
+    cfg = T5Config.preset("xxl")
+    model = T5Encoder(cfg)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512), jnp.int32),
+        jnp.ones((1, 512), bool)))
+    spec = specs.spec_t5_encoder(cfg)
+    converted = {t5_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "t5-full")
+    # T5-XXL headline dims
+    assert spec["shared.weight"] == (32128, 4096)
+    assert spec["encoder.block.0.layer.1.DenseReluDense.wi_0.weight"] == \
+        (10240, 4096)
+    n_params = sum(int(np.prod(s)) for s in spec.values())
+    assert 4.5e9 < n_params < 5.5e9   # T5-XXL encoder is ~4.8B
+
+
+def test_t5_relative_bucket_map():
+    """Bucket map matches the HF algorithm's structure: symmetric split,
+    exact small offsets, log-spaced large ones, monotone."""
+    from genpc_tpu.models.t5 import t5_relative_buckets
+    b = t5_relative_buckets(64, 64, 32, 128)
+    assert b[0, 0] == 0
+    assert b[10, 10] == 0
+    assert b[5, 4] == 1          # key 1 before query: bucket = distance
+    assert b[5, 3] == 2
+    assert b[4, 5] == 16 + 1     # future keys get the +num_buckets/2 half
+    row = b[0]                   # increasing distance -> nondecreasing
+    assert (np.diff(row) >= 0).all()
+    assert row.max() <= 31
+
+
+def test_t5_prompt_encoder_shapes():
+    from genpc_tpu.models.t5 import T5PromptEncoder
+    enc = T5PromptEncoder("tiny")
+    ctx, pooled = enc.encode("a raw photo of a chair")
+    assert ctx.shape == (1, 32, 64)
+    assert pooled.shape[0] == 1
+    assert np.isfinite(np.asarray(ctx)).all()
+    # deterministic
+    ctx2, _ = enc.encode("a raw photo of a chair")
+    np.testing.assert_array_equal(np.asarray(ctx), np.asarray(ctx2))
+
+
+# ----------------------------------------------------------- Qwen2.5-VL
+
+def test_qwen_vl_conversion_tiny_values():
+    from genpc_tpu.models.qwen_vl import (QwenVLConfig, QwenVLTextModel,
+                                          QwenVisionModel)
+    from genpc_tpu.models.weights import convert_qwen_vl, qwen_vl_name_to_flax
+    cfg = QwenVLConfig.preset("tiny")
+    spec_t = specs.spec_qwen_vl_text(cfg)
+    spec_v = specs.spec_qwen_vl_vision(cfg)
+
+    text = QwenVLTextModel(cfg)
+    ids = jnp.zeros((1, 12), jnp.int32)
+    pos = jnp.zeros((3, 1, 12), jnp.int32)
+    params_t = text.init(jax.random.PRNGKey(0), ids, pos)
+    conv_t, conv_v = convert_qwen_vl(
+        {k: np.zeros(s, np.float32) for k, s in
+         {**spec_t, **spec_v}.items()})
+    _check(tree_shapes(params_t),
+           {k: v.shape for k, v in conv_t.items()}, "qwenvl-text-tiny")
+
+    vision = QwenVisionModel(cfg)
+    g = 8
+    patches = jnp.zeros((g * g, 3 * cfg.temporal_patch * cfg.patch ** 2))
+    params_v = vision.init(jax.random.PRNGKey(1), patches, g)
+    _check(tree_shapes(params_v),
+           {k: v.shape for k, v in conv_v.items()}, "qwenvl-vision-tiny")
+
+    ckpt = synthetic_checkpoint({**spec_t, **spec_v})
+    ct, cv = convert_qwen_vl(ckpt)
+    params_t = graft_weights(params_t, ct, {}, "qwenvl-t", strict=True)
+    params_v = graft_weights(params_v, cv, {}, "qwenvl-v", strict=True)
+    out = text.apply(params_t, ids, pos)
+    assert np.isfinite(np.asarray(out)).all()
+    out = vision.apply(params_v, patches, g)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_qwen_vl_conversion_full_shapes():
+    from genpc_tpu.models.qwen_vl import (QwenVLConfig, QwenVLTextModel,
+                                          QwenVisionModel)
+    from genpc_tpu.models.weights import convert_qwen_vl
+    cfg = QwenVLConfig.preset("full")
+    spec_t = specs.spec_qwen_vl_text(cfg)
+    spec_v = specs.spec_qwen_vl_vision(cfg)
+    conv_t, conv_v = convert_qwen_vl(
+        {k: np.zeros(s, np.float32) if np.prod(s) < 1e6 else
+         np.broadcast_to(np.zeros(1, np.float32), s) for k, s in
+         {**spec_t, **spec_v}.items()})
+
+    text = QwenVLTextModel(cfg)
+    shapes_t = jax.eval_shape(lambda: text.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((3, 1, 8), jnp.int32)))
+    _check(tree_shapes(shapes_t),
+           {k: v.shape for k, v in conv_t.items()}, "qwenvl-text-full")
+
+    vision = QwenVisionModel(cfg)
+    g = 16
+    shapes_v = jax.eval_shape(lambda: vision.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((g * g, 3 * cfg.temporal_patch * cfg.patch ** 2)), g))
+    _check(tree_shapes(shapes_v),
+           {k: v.shape for k, v in conv_v.items()}, "qwenvl-vision-full")
+
+    # Qwen2.5-VL-7B headline dims
+    assert spec_t["model.language_model.layers.0.self_attn.q_proj"
+                  ".weight"] == (3584, 3584)
+    assert spec_t["model.language_model.layers.0.self_attn.k_proj"
+                  ".weight"] == (512, 3584)
+    assert spec_v["model.visual.patch_embed.proj.weight"] == \
+        (1280, 3, 2, 14, 14)
+    assert spec_v["model.visual.merger.mlp.2.weight"] == (3584, 5120)
+    n = sum(int(np.prod(s)) for s in {**spec_t, **spec_v}.values())
+    assert 7e9 < n < 9e9    # ~7.6B (text) + ~0.67B (vision)
+
+
+def test_qwen_vl_legacy_key_layout_converts():
+    """Pre-4.52 checkpoints use model.* / visual.* prefixes."""
+    from genpc_tpu.models.weights import qwen_vl_name_to_flax
+    assert qwen_vl_name_to_flax(
+        "model.layers.3.self_attn.q_proj.weight") == \
+        qwen_vl_name_to_flax(
+        "model.language_model.layers.3.self_attn.q_proj.weight")
+    assert qwen_vl_name_to_flax("visual.blocks.2.attn.qkv.weight") == \
+        qwen_vl_name_to_flax("model.visual.blocks.2.attn.qkv.weight")

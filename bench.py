@@ -32,7 +32,8 @@ import numpy as np
 # GT pairs excluded from quality averages, with the reason on record.
 # 06830's GT is in a different world frame than its partial: the raw
 # partial-vs-GT CD*100 is ~292 before any processing.
-EXCLUDED_FLAGS = {"06830": "GT world-frame mismatch (raw CD*100 ~ 292)"}
+EXCLUDED_FLAGS = {"06830": "GT file is a different object (dataset error; "
+                           "docs/06830_investigation.md)"}
 
 TARGET_OBJ_PER_MIN = 5.0  # BASELINE.md: >=5 objects/min/chip on v5e-8
 
@@ -105,30 +106,73 @@ def main():
             proc = subprocess.run(
                 [sys.executable, os.path.join(here, "bench_waymo.py")],
                 capture_output=True, text=True,
-                timeout=int(os.environ.get("GENPC_WAYMO_TIMEOUT", "1500")),
+                timeout=int(os.environ.get("GENPC_WAYMO_TIMEOUT", "2400")),
                 env={**os.environ, "GENPC_BENCH_WS": out_dir},
                 cwd=here)
             print(proc.stderr[-2000:], file=sys.stderr)
             line = proc.stdout.strip().splitlines()
-            waymo_extra = json.loads(line[-1]) if line else None
+            if line:
+                waymo_extra = json.loads(line[-1])
+            else:   # distinguish a crashed subprocess from "no data"
+                waymo_extra = {"note": f"skipped: subprocess rc="
+                                       f"{proc.returncode}, stderr tail: "
+                                       f"{proc.stderr[-300:]!r}"}
         except subprocess.TimeoutExpired:
             waymo_extra = {"note": "skipped: waymo subprocess timed out "
                                    "(wedged remote compile helper)"}
         except Exception as e:  # noqa: BLE001
             waymo_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
 
-    # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50)
+    # Full-scale neural presets (VERDICT r2 #1): SDXL ControlNet at the
+    # reference's 30 steps / 1024² and InstantMesh (zero123plus + LRM) at
+    # 75 steps, random bf16 weights, real per-step timings on the chip.
+    # Subprocess-isolated like the Waymo section; first-ever run pays
+    # multi-minute remote compiles (then cached in .jax_cache).
+    neural_extra = None
+    if os.environ.get("GENPC_BENCH_NEURAL", "1") == "1":
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "bench_neural.py")],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("GENPC_NEURAL_TIMEOUT", "3000")),
+                cwd=here)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            line = proc.stdout.strip().splitlines()
+            if line:
+                neural_extra = json.loads(line[-1])
+            else:
+                neural_extra = {"note": f"skipped: subprocess rc="
+                                        f"{proc.returncode}, stderr tail: "
+                                        f"{proc.stderr[-300:]!r}"}
+        except subprocess.TimeoutExpired:
+            neural_extra = {"note": "skipped: neural subprocess timed out"}
+        except Exception as e:  # noqa: BLE001
+            neural_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
+
+    # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50).
+    # FRESH random operands per timed call, median of 3: re-timing the
+    # warm-up's identical operands measured a cached replay (0.2 ms) on
+    # the tunneled backend, contradicting the ~300 ms kernel time
+    # (VERDICT r2 weak #3 / next #6)
     import jax
     import jax.numpy as jnp
     from genpc_tpu.ops.emd import emd_auction
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((1, 16384, 3)), jnp.float32)
-    y = jnp.asarray(rng.random((1, 16384, 3)), jnp.float32)
     f = jax.jit(lambda a, b: emd_auction(a, b, eps=0.005, iters=50)[0])
-    jax.block_until_ready(f(x, y))                   # compile
-    t0 = time.time()
-    jax.block_until_ready(f(x, y))
-    emd_ms = (time.time() - t0) * 1000.0
+    pairs = [(jnp.asarray(rng.random((1, 16384, 3)), jnp.float32),
+              jnp.asarray(rng.random((1, 16384, 3)), jnp.float32))
+             for _ in range(4)]
+    jax.block_until_ready(f(*pairs[0]))              # compile
+    times = []
+    for x, y in pairs[1:]:
+        jax.block_until_ready(x)
+        jax.block_until_ready(y)
+        t0 = time.time()
+        jax.block_until_ready(f(x, y))
+        times.append((time.time() - t0) * 1000.0)
+    emd_ms = sorted(times)[len(times) // 2]
 
     print(json.dumps({
         "metric": "objects/min/chip end-to-end incl. full registration "
@@ -146,6 +190,7 @@ def main():
                 "wall_s": round(wall_fast, 1)},
             "emd_16384_ms_per_call": round(emd_ms, 1),
             "waymo_lidar": waymo_extra,
+            "neural_full_scale": neural_extra,
             "excluded": EXCLUDED_FLAGS,
             "vs_baseline_note": "ratio vs the 5 obj/min/chip TARGET "
                                 "(no measured reference-GPU number exists)",

@@ -1,0 +1,201 @@
+"""Full-scale neural-preset bench (VERDICT r2 #1) — one JSON line.
+
+Executes the ACTUAL full-size architectures on the chip with random
+bf16 weights (the container is zero-egress; compute cost is identical
+to pretrained weights):
+
+* **SDXL ControlNet preset** (config-3 shape: Depth Prompting's
+  generation stage): 2.6B UNet + 1.25B ControlNet trunk + SDXL VAE +
+  both CLIP towers, the reference's 30 steps at 1024²
+  (reference: tools/controlnet_depth.py:55-111).  Records compile time,
+  per-denoise-step ms (steady-state, host-chunked), and end-to-end
+  s/object for the generation stage.
+* **InstantMesh preset** (config-4 shape's image->3D stage):
+  zero123plus SD2-class UNet at the 960x640 grid with reference
+  attention + CFG, 75 steps, + full LRM (DINO ViT-B + 16-layer triplane
+  transformer + FlexiCubes-decoder grid query)
+  (reference: tools/instantmesh.py:115-182).
+* **FLUX/Qwen feasibility**: parameter-count × dtype vs the 16 GB v5e
+  HBM — these two CANNOT fit one chip; reported with the sharding they
+  need (see extra.memory notes).
+
+Run in a subprocess by bench.py; safe to run standalone.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bf16_like(shapes_tree):
+    """Materialize a parameter tree on device in bf16: norm scales = 1,
+    everything else = 0 (values are irrelevant for timing; zeros keep
+    the materializing program trivially cheap)."""
+    import jax
+    import jax.numpy as jnp
+
+    def mk(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        shape = leaf.shape
+        if name.endswith("scale") or "norm" in name.lower().split("/")[-1]:
+            return jnp.ones(shape, jnp.bfloat16)
+        return jnp.zeros(shape, jnp.bfloat16)
+
+    return jax.jit(lambda: jax.tree_util.tree_map_with_path(
+        mk, shapes_tree))()
+
+
+def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
+    import jax
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.controlnet_depth import ControlNetDepth
+
+    cfg = load_config(model_size="full", denoise_chunk=chunk, save=False)
+    be = ControlNetDepth(cfg)
+    hw = size // be.factor
+    t0 = time.time()
+    shapes = jax.eval_shape(lambda: be._init_params(hw))
+    be._params = _bf16_like(shapes)
+    be._latent_hw = hw
+    init_s = time.time() - t0
+    n_params = sum(int(np.prod(l.shape)) for l in
+                   jax.tree_util.tree_leaves(shapes))
+    depth = np.random.default_rng(0).uniform(size=(size, size)
+                                             ).astype(np.float32)
+
+    t0 = time.time()
+    img = be.generate(depth, "01184", size=size,
+                      num_inference_steps=steps)
+    compile_and_first_s = time.time() - t0
+    t0 = time.time()
+    img = be.generate(depth, "01184", size=size,
+                      num_inference_steps=steps)
+    e2e_s = time.time() - t0
+    assert img.shape == (size, size, 3)
+
+    # steady-state per-step: time one warm chunk directly
+    ctx, pooled = be.prompt_encoder.encode("a chair")
+    import jax.numpy as jnp
+    if ctx.shape[-1] != be.unet_cfg.context_dim:
+        reps = -(-be.unet_cfg.context_dim // ctx.shape[-1])
+        ctx = jnp.tile(ctx, (1, 1, reps))[..., :be.unet_cfg.context_dim]
+    added = be._added_cond(pooled, size)
+    cond = jnp.asarray(depth[..., None].repeat(3, -1) * 2 - 1)[None]
+    latents, keys = be._denoise_init(be._params, cond,
+                                     jax.random.PRNGKey(0), steps)
+    latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
+                                added, added, keys, steps, 0, chunk)
+    jax.block_until_ready(latents)
+    t0 = time.time()
+    latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
+                                added, added, keys, steps, chunk,
+                                2 * chunk)
+    jax.block_until_ready(latents)
+    step_ms = (time.time() - t0) * 1000.0 / chunk
+
+    return {
+        "preset": "sdxl_controlnet_full", "params": n_params,
+        "resolution": size, "steps": steps,
+        "param_init_s": round(init_s, 1),
+        "first_call_s_incl_compile": round(compile_and_first_s, 1),
+        "per_denoise_step_ms": round(step_ms, 1),
+        "e2e_s_per_object_generation": round(e2e_s, 2),
+        "config3_obj_per_min_generation_stage": round(60.0 / e2e_s, 2),
+    }
+
+
+def bench_instantmesh(steps: int = 75) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.lrm import InstantMeshBackend
+
+    cfg = load_config(model_size="full", save=False)
+    be = InstantMeshBackend(cfg)
+    t0 = time.time()
+    shapes = jax.eval_shape(lambda: be._init_params())
+    params = _bf16_like(shapes)
+    params["ramping"] = jnp.linspace(0.0, 1.0, be.txt_cfg.max_len)
+    be._params = params
+    init_s = time.time() - t0
+    n_params = sum(int(np.prod(l.shape)) for l in
+                   jax.tree_util.tree_leaves(shapes))
+    be.mv_steps = steps
+    img = np.random.default_rng(0).uniform(
+        size=(be.lrm_cfg.view_size, be.lrm_cfg.view_size, 4)
+    ).astype(np.float32)
+
+    t0 = time.time()
+    mesh = be("01184", img)
+    first_s = time.time() - t0
+    t0 = time.time()
+    mesh = be("01184", img)
+    e2e_s = time.time() - t0
+    return {
+        "preset": "instantmesh_full_zero123plus", "params": n_params,
+        "mv_steps": steps, "param_init_s": round(init_s, 1),
+        "first_call_s_incl_compile": round(first_s, 1),
+        "e2e_s_per_object_image_to_3d": round(e2e_s, 2),
+        "mesh_vertices": int(len(mesh.vertices)),
+        "per_mv_step_ms_amortized": round(e2e_s / steps * 1000.0, 1),
+    }
+
+
+def memory_notes() -> dict:
+    """FLUX/Qwen single-chip feasibility from exact parameter counts."""
+    from genpc_tpu.models.checkpoint_specs import (
+        spec_flux_transformer, spec_qwen_transformer, spec_t5_encoder,
+        spec_qwen_vl_text, spec_qwen_vl_vision)
+    from genpc_tpu.models.dit import DiTConfig
+    from genpc_tpu.models.t5 import T5Config
+    from genpc_tpu.models.qwen_vl import QwenVLConfig
+
+    def count(spec):
+        return sum(int(np.prod(s)) for s in spec.values())
+
+    flux = count(spec_flux_transformer(DiTConfig.preset("flux")))
+    qwen = count(spec_qwen_transformer(DiTConfig.preset("qwen")))
+    t5 = count(spec_t5_encoder(T5Config.preset("xxl")))
+    vl = count(spec_qwen_vl_text(QwenVLConfig.preset("full"))) + \
+        count(spec_qwen_vl_vision(QwenVLConfig.preset("full")))
+    hbm = 16e9
+    return {
+        "hbm_bytes": int(hbm),
+        "flux_depth_dev": {
+            "params": flux, "bf16_bytes": flux * 2,
+            "fits_one_v5e": flux * 2 < hbm * 0.85,
+            "note": "12B transformer alone needs ~24 GB bf16 + T5-XXL "
+                    "~9.6 GB; needs >= 4 v5e chips with 2-way tensor "
+                    "parallel (shard attention heads + MLP, 'tp' axis "
+                    "already annotated in models/layers.py tp_dense) or "
+                    "int4 weights like the reference's Nunchaku build"},
+        "qwen_image_edit": {
+            "params": qwen, "bf16_bytes": qwen * 2,
+            "fits_one_v5e": qwen * 2 < hbm * 0.85,
+            "note": "Qwen-Image 60-double-block MMDiT + 8.3B Qwen2.5-VL "
+                    "encoder; same >= 4-chip tp sharding requirement"},
+        "t5_xxl_params": t5,
+        "qwen25_vl_params": vl,
+    }
+
+
+def main():
+    out = {}
+    try:
+        out["sdxl"] = bench_sdxl()
+    except Exception as e:  # noqa: BLE001
+        out["sdxl"] = {"note": f"failed: {type(e).__name__}: {e}"}
+    try:
+        out["instantmesh"] = bench_instantmesh()
+    except Exception as e:  # noqa: BLE001
+        out["instantmesh"] = {"note": f"failed: {type(e).__name__}: {e}"}
+    out["memory"] = memory_notes()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

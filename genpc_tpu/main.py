@@ -75,6 +75,9 @@ def run_pipeline(cfg: Config, flags: List[str], data_dir: str,
             if os.path.exists(gt_path):
                 with timer.span("metric"):
                     gt, _ = load_xyz(gt_path)
+                    from genpc_tpu.metrics.frame_fixes import \
+                        apply_frame_fix
+                    gt = apply_frame_fix(flag, gt)
                     m = evaluate_pair(art.fused_xyz, gt,
                                       num_points=int(cfg.metric_points),
                                       emd_eps=float(cfg.emd_eps),

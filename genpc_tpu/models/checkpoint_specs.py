@@ -242,6 +242,30 @@ def spec_clip_text(cfg) -> Spec:
     return s
 
 
+def spec_clip_vision(cfg) -> Spec:
+    """HF CLIPVisionModelWithProjection (the zero123plus `vision_encoder`,
+    OpenCLIP ViT-H with a 1024-d projection)."""
+    d = cfg.hidden_dim
+    s: Spec = {}
+    s["vision_model.embeddings.class_embedding"] = (d,)
+    s["vision_model.embeddings.patch_embedding.weight"] = \
+        (d, 3, cfg.patch, cfg.patch)
+    s["vision_model.embeddings.position_embedding.weight"] = \
+        (1 + (cfg.image_size // cfg.patch) ** 2, d)
+    _norm(s, "vision_model.pre_layrnorm", d)     # HF's misspelling
+    for i in range(cfg.num_layers):
+        b = f"vision_model.encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(s, f"{b}.self_attn.{proj}", d, d)
+        _norm(s, f"{b}.layer_norm1", d)
+        _linear(s, f"{b}.mlp.fc1", 4 * d, d)
+        _linear(s, f"{b}.mlp.fc2", d, 4 * d)
+        _norm(s, f"{b}.layer_norm2", d)
+    _norm(s, "vision_model.post_layernorm", d)
+    _linear(s, "visual_projection", cfg.proj_dim, d, bias=False)
+    return s
+
+
 # ----------------------------------------------------- UNet (SD2 / SDXL)
 
 def spec_unet(cfg) -> Spec:

@@ -106,23 +106,10 @@ class ControlNetDepth:
         time_emb = timestep_embedding(time_ids, 256).reshape(1, -1)
         return jnp.concatenate([pooled, time_emb], axis=-1)
 
-    @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _denoise(self, params, cond_img, context, context_neg,
-                 added_cond, added_cond_neg, rng,
-                 steps: int = 30, guidance: float = 5.0,
-                 control_scale: float = 1.0):
-        sched = EulerAncestral(steps)
-        h = cond_img.shape[1] // self.factor
-        lat_shape = (1, h, h, self.unet_cfg.in_channels)
-        rng, k = jax.random.split(rng)
-        latents = jax.random.normal(k, lat_shape) * sched.init_noise_sigma
-        noise_keys = jax.random.split(rng, steps)
-
-        if self.adapter:
-            adapter_feats = [f * control_scale for f in self.controlnet.apply(
-                params["controlnet"], cond_img)]
-        else:
-            adapter_feats = None
+    def _loop_body(self, params, cond_img, context, context_neg,
+                   added_cond, added_cond_neg, sched,
+                   guidance, control_scale, adapter_feats, noise_keys):
+        lat_shape_tail = (self.unet_cfg.in_channels,)
 
         def body(i, latents):
             t = jnp.full((1,), sched.timesteps[i])
@@ -142,10 +129,67 @@ class ControlNetDepth:
             eps_u = self.unet.apply(params["unet"], x_in, t, context_neg,
                                     added_cond=added_cond_neg)
             eps = cfg_combine(eps_u, eps_c, guidance)
-            noise = jax.random.normal(noise_keys[i], lat_shape)
+            noise = jax.random.normal(noise_keys[i], latents.shape)
             return sched.step(eps, i, latents, noise)
 
+        return body
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _denoise(self, params, cond_img, context, context_neg,
+                 added_cond, added_cond_neg, rng,
+                 steps: int = 30, guidance: float = 5.0,
+                 control_scale: float = 1.0):
+        sched = EulerAncestral(steps)
+        h = cond_img.shape[1] // self.factor
+        lat_shape = (1, h, h, self.unet_cfg.in_channels)
+        rng, k = jax.random.split(rng)
+        latents = jax.random.normal(k, lat_shape) * sched.init_noise_sigma
+        noise_keys = jax.random.split(rng, steps)
+
+        if self.adapter:
+            adapter_feats = [f * control_scale for f in self.controlnet.apply(
+                params["controlnet"], cond_img)]
+        else:
+            adapter_feats = None
+
+        body = self._loop_body(params, cond_img, context, context_neg,
+                               added_cond, added_cond_neg, sched,
+                               guidance, control_scale, adapter_feats,
+                               noise_keys)
         latents = jax.lax.fori_loop(0, steps, body, latents)
+        img = self.vae.apply(params["vae"], latents,
+                             method=AutoencoderKL.decode)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    # --- host-chunked variant (full-scale presets: keeps every device
+    # execution well under the tunnel watchdog's ~1 min; identical math)
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _denoise_init(self, params, cond_img, rng, steps: int):
+        sched = EulerAncestral(steps)
+        h = cond_img.shape[1] // self.factor
+        lat_shape = (1, h, h, self.unet_cfg.in_channels)
+        rng, k = jax.random.split(rng)
+        latents = jax.random.normal(k, lat_shape) * sched.init_noise_sigma
+        return latents, jax.random.split(rng, steps)
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps", "lo",
+                                                 "hi"),
+                       donate_argnums=(2,))   # donate latents (arg 0=self)
+    def _denoise_chunk(self, params, latents, cond_img, context,
+                       context_neg, added_cond, added_cond_neg, noise_keys,
+                       steps: int, lo: int, hi: int,
+                       guidance: float = 5.0, control_scale: float = 1.0):
+        sched = EulerAncestral(steps)
+        adapter_feats = ([f * control_scale for f in self.controlnet.apply(
+            params["controlnet"], cond_img)] if self.adapter else None)
+        body = self._loop_body(params, cond_img, context, context_neg,
+                               added_cond, added_cond_neg, sched,
+                               guidance, control_scale, adapter_feats,
+                               noise_keys)
+        return jax.lax.fori_loop(lo, hi, body, latents)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode(self, params, latents):
         img = self.vae.apply(params["vae"], latents,
                              method=AutoencoderKL.decode)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
@@ -159,6 +203,8 @@ class ControlNetDepth:
         d = np.asarray(depth, np.float32)
         if d.ndim == 3 and d.shape[0] in (1, 3):
             d = d.transpose(1, 2, 0)
+        if d.ndim == 2:
+            d = d[..., None]
         if d.shape[-1] == 1:
             d = np.repeat(d, 3, axis=-1)
         if d.shape[0] != size:
@@ -186,9 +232,24 @@ class ControlNetDepth:
 
         cond = jnp.asarray(d * 2.0 - 1.0)[None]
         self.rng, k = jax.random.split(self.rng)
-        img = self._denoise(self._params, cond, ctx, ctx_neg,
-                            added, added_neg, k,
-                            steps=num_inference_steps,
-                            guidance=5.0,
-                            control_scale=controlnet_conditioning_scale)
+        chunk = int(self.cfg.get("denoise_chunk", 0)) if self.cfg else 0
+        if chunk:
+            latents, noise_keys = self._denoise_init(
+                self._params, cond, k, num_inference_steps)
+            lo = 0
+            while lo < num_inference_steps:
+                hi = min(lo + chunk, num_inference_steps)
+                latents = self._denoise_chunk(
+                    self._params, latents, cond, ctx, ctx_neg, added,
+                    added_neg, noise_keys, num_inference_steps, lo, hi,
+                    guidance=5.0,
+                    control_scale=controlnet_conditioning_scale)
+                lo = hi
+            img = self._decode(self._params, latents)
+        else:
+            img = self._denoise(self._params, cond, ctx, ctx_neg,
+                                added, added_neg, k,
+                                steps=num_inference_steps,
+                                guidance=5.0,
+                                control_scale=controlnet_conditioning_scale)
         return np.asarray(img[0])

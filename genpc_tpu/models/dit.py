@@ -142,15 +142,20 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, heads, cos, sin):
-    """q/k/v [B,T,dim] -> joint attention with RoPE; returns [B,T,dim]."""
+def _attention(q, k, v, heads, cos, sin, mask=None):
+    """q/k/v [B,T,dim] -> joint attention with RoPE; returns [B,T,dim].
+
+    mask [B,T] bool marks valid KEY tokens (padded text excluded, the
+    diffusers QwenImage prompt_embeds_mask behavior); None = all valid.
+    """
     b, t, d = q.shape
     dh = d // heads
     split = lambda a: a.reshape(b, t, heads, dh)
     q, k, v = split(q), split(k), split(v)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = jax.nn.dot_product_attention(q, k, v)
+    m = None if mask is None else mask[:, None, None, :]
+    out = jax.nn.dot_product_attention(q, k, v, mask=m)
     return out.reshape(b, t, d)
 
 
@@ -165,7 +170,7 @@ class DoubleBlock(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec, cos, sin):
+    def __call__(self, img, txt, vec, cos, sin, mask=None):
         cfg = self.cfg
         d = cfg.hidden_dim
         dh = cfg.head_dim
@@ -209,7 +214,7 @@ class DoubleBlock(nn.Module):
         q = jnp.concatenate([qt, qi], axis=1)
         k = jnp.concatenate([kt, ki], axis=1)
         v = jnp.concatenate([vt, vi], axis=1)
-        att = _attention(q, k, v, cfg.num_heads, cos, sin)
+        att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
         att_t, att_i = att[:, :lt], att[:, lt:]
         img = img + i_gate * dense("attn_img_out")(att_i)
         txt = txt + t_gate * dense("attn_txt_out")(att_t)
@@ -231,7 +236,7 @@ class SingleBlock(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, vec, cos, sin):
+    def __call__(self, x, vec, cos, sin, mask=None):
         cfg = self.cfg
         d = cfg.hidden_dim
         mod = nn.Dense(3 * d, dtype=jnp.float32, name="mod")(
@@ -251,7 +256,7 @@ class SingleBlock(nn.Module):
 
         q = headnorm(q, "norm_q")
         k = headnorm(k, "norm_k")
-        att = _attention(q, k, v, cfg.num_heads, cos, sin)
+        att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
         mlp = _gelu_tanh(nn.Dense(4 * d, dtype=jnp.bfloat16,
                                   name="proj_mlp")(xn))
         out = nn.Dense(d, dtype=jnp.bfloat16, name="proj_out")(
@@ -264,8 +269,9 @@ class MMDiT(nn.Module):
 
     @nn.compact
     def __call__(self, latents, t, txt, pooled=None, cond_latents=None,
-                 guidance=None):
-        """latents [B,H,W,C]; t [B] in [0,1]; txt [B,L,text_dim].
+                 guidance=None, txt_mask=None):
+        """latents [B,H,W,C]; t [B] in [0,1]; txt [B,L,text_dim];
+        txt_mask [B,L] bool marks real (non-pad) prompt tokens.
 
         cond_latents [B,H,W,Cc] join per cfg.cond_mode: 'channels'
         (FLUX-Depth channel concat) or 'sequence' (Qwen-Image-Edit token
@@ -326,14 +332,20 @@ class MMDiT(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         cos, sin = rope_table(ids, cfg.axes_dim, cfg.theta)
 
+        mask = None
+        if txt_mask is not None:
+            mask = jnp.concatenate(
+                [txt_mask.astype(bool),
+                 jnp.ones((b, img.shape[1]), bool)], axis=1)
+
         for i in range(cfg.double_blocks):
             img, txt_tok = DoubleBlock(cfg, name=f"double_{i}")(
-                img, txt_tok, vec, cos, sin)
+                img, txt_tok, vec, cos, sin, mask)
         if cfg.single_blocks:
             seq = jnp.concatenate([txt_tok, img], axis=1)
             for i in range(cfg.single_blocks):
                 seq = SingleBlock(cfg, name=f"single_{i}")(seq, vec, cos,
-                                                           sin)
+                                                           sin, mask)
             img = seq[:, lt:]
 
         img = img[:, :n_img]

@@ -1,20 +1,29 @@
 """Depth->image generation via MMDiT + rectified flow (FLUX/Qwen variants).
 
 Pipeline rebuild of the reference's two DiT backends:
-  * variant="qwen": Qwen-Image-Edit-style edit conditioning — the depth map
-    is VAE-encoded and its tokens concatenated to the model input; 8 steps,
-    cfg 4.0, the long "professional product photography" prompt
-    (reference: tools/qwen_depth.py:66-132);
+  * variant="qwen": Qwen-Image-Edit-style edit conditioning — the depth
+    map is VAE-encoded and its tokens concatenated to the model input
+    along the sequence, and the prompt AND depth image are encoded by
+    **Qwen2.5-VL** (models/qwen_vl.py) exactly as the reference pipeline
+    does (tools/qwen_depth.py:50-62 QwenImageEditPlusPipeline; :66-108
+    8 steps, true CFG 4.0; :110-132 the product-photo prompt);
   * variant="flux": FLUX.1-Depth-dev-style channel concatenation of
-    control latents, distilled guidance 10.0, 30 steps
-    (reference: tools/flux_depth.py:32-58).
+    control latents, prompts encoded by **T5-XXL** + CLIP-L pooled
+    (models/t5.py; reference tools/flux_depth.py:19-30,48), distilled
+    guidance 10.0, 30 steps.
 
-Whole sampler is one jitted lax.fori_loop over the FlowMatchEuler schedule.
+The whole sampler is one jitted lax.fori_loop over the FlowMatchEuler
+schedule, OBJECT-BATCHED: generate_batch() denoises B objects in one
+device program (SURVEY §2.3 "batch the diffusion denoise loops across
+objects"); prompts of different token lengths are padded to a static
+budget and masked in the joint attention (the diffusers
+prompt_embeds_mask behavior).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +31,6 @@ import numpy as np
 
 from genpc_tpu.models.dit import DiTConfig, MMDiT
 from genpc_tpu.models.schedulers import FlowMatchEuler, cfg_combine
-from genpc_tpu.models.text_encoder import PromptEncoder
 from genpc_tpu.models.vae import AutoencoderKL, VAEConfig
 
 QWEN_PROMPT = (
@@ -38,23 +46,49 @@ QWEN_PROMPT = (
     "and practical, making the object look like a real, commonly "
     "available item in everyday use.")
 
+FLUX_PROMPT = (
+    "A raw photo of a {category}. no reflections, high quality, rich "
+    "details. Shot with a macro lens (f/2.8, 50mm) and a Canon EOSR5")
+
+
+def _pad_tokens(ctx: np.ndarray, budget: int):
+    """[L,D] -> ([budget,D], [budget] bool mask); truncates over-budget."""
+    L, D = ctx.shape
+    if L >= budget:
+        return ctx[:budget], np.ones(budget, bool)
+    out = np.zeros((budget, D), ctx.dtype)
+    out[:L] = ctx
+    mask = np.zeros(budget, bool)
+    mask[:L] = True
+    return out, mask
+
 
 class DiTDepthEdit:
     def __init__(self, cfg=None, variant: str = "qwen", seed: int = 0):
         self.cfg = cfg or {}
         self.variant = variant
         size = (cfg.get("model_size", "tiny") if cfg else "tiny")
-        if size == "full":
+        self.full = size == "full"
+        if self.full:
             self.dit_cfg = DiTConfig.preset(variant)
         else:
             self.dit_cfg = DiTConfig.preset(
                 "tiny_qwen" if variant == "qwen" else "tiny")
-        self.vae_cfg = VAEConfig.preset("tiny" if size != "full" else "flux")
+        self.vae_cfg = VAEConfig.preset("tiny" if not self.full else "flux")
         self.factor = self.vae_cfg.spatial_factor
         self.model = MMDiT(self.dit_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
-        self.prompt_encoder = PromptEncoder(
-            "tiny" if size != "full" else "full")
+        weights_dir = self.cfg.get("weights_dir")
+        if variant == "qwen":
+            from genpc_tpu.models.qwen_vl import QwenVLEncoder
+            self.vl = QwenVLEncoder("full" if self.full else "tiny",
+                                    weights_dir=weights_dir)
+            self.txt_budget = 512 if self.full else 160
+        else:
+            from genpc_tpu.models.t5 import T5PromptEncoder
+            self.t5 = T5PromptEncoder("full" if self.full else "tiny",
+                                      weights_dir=weights_dir)
+            self.txt_budget = None    # T5 encodes at fixed length already
         self.rng = jax.random.PRNGKey(seed)
         # defaults per variant (reference settings)
         self.steps = 8 if variant == "qwen" else 30
@@ -84,33 +118,62 @@ class DiTDepthEdit:
             params = load_dit(weights_dir, params, self.variant)
         return params
 
-    def _tile_channels(self, lat, channels: int):
-        """Tile VAE latents to the transformer's conditioning width."""
-        c = lat.shape[-1]
-        if c == channels:
-            return lat
-        return jnp.tile(lat, (1, 1, 1, -(-channels // c)))[..., :channels]
+    # ------------------------------------------------------------ prompts
+    def _encode_prompts(self, categories: Sequence[str],
+                        depths01: np.ndarray):
+        """-> (txt, mask, txt_neg, mask_neg, pooled) stacked over B."""
+        if self.variant == "qwen":
+            ctxs, masks, negs, nmasks = [], [], [], []
+            for b, cat in enumerate(categories):
+                pos = np.asarray(self.vl.encode(
+                    QWEN_PROMPT.format(category=cat), depths01[b])[0],
+                    np.float32)
+                neg = np.asarray(self.vl.encode(" ", depths01[b])[0],
+                                 np.float32)
+                c, m = _pad_tokens(pos, self.txt_budget)
+                n, nm = _pad_tokens(neg, self.txt_budget)
+                ctxs.append(c)
+                masks.append(m)
+                negs.append(n)
+                nmasks.append(nm)
+            return (jnp.asarray(np.stack(ctxs)), jnp.asarray(np.stack(masks)),
+                    jnp.asarray(np.stack(negs)),
+                    jnp.asarray(np.stack(nmasks)), None)
+        # flux: T5 context + CLIP-L pooled, no CFG branch needed
+        prompts = [FLUX_PROMPT.format(category=c) for c in categories]
+        ctx, pooled = self.t5.encode(prompts)
+        if self.dit_cfg.pooled_dim and \
+                pooled.shape[-1] != self.dit_cfg.pooled_dim:
+            pd = self.dit_cfg.pooled_dim
+            reps = -(-pd // pooled.shape[-1])
+            pooled = jnp.tile(pooled, (1, reps))[..., :pd]
+        return ctx, None, None, None, pooled
 
+    # ------------------------------------------------------------ sampler
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample(self, params, cond_img, txt, txt_neg, pooled, rng,
-                steps: int, guidance: float):
+    def _sample(self, params, cond_img, txt, txt_mask, txt_neg,
+                txt_neg_mask, pooled, rng, steps: int, guidance: float):
+        b = cond_img.shape[0]
         sched = FlowMatchEuler(steps)
         cond_lat = self.vae.apply(params["vae"], cond_img,
                                   method=AutoencoderKL.encode)
-        cond_lat = self._tile_channels(cond_lat, self.dit_cfg.cond_channels)
+        if cond_lat.shape[-1] != self.dit_cfg.cond_channels:
+            reps = -(-self.dit_cfg.cond_channels // cond_lat.shape[-1])
+            cond_lat = jnp.tile(cond_lat, (1, 1, 1, reps)
+                                )[..., :self.dit_cfg.cond_channels]
         lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
         latents = jax.random.normal(rng, lat_shape)
-        g = jnp.full((1,), guidance, jnp.float32)
+        g = jnp.full((b,), guidance, jnp.float32)
 
         def body(i, latents):
-            t = jnp.full((1,), sched.timesteps[i])
+            t = jnp.full((b,), sched.timesteps[i])
             v_c = self.model.apply(params["dit"], latents, t, txt,
                                    pooled=pooled, cond_latents=cond_lat,
-                                   guidance=g)
+                                   guidance=g, txt_mask=txt_mask)
             if self.variant == "qwen":   # true CFG (reference cfg 4.0)
                 v_u = self.model.apply(params["dit"], latents, t, txt_neg,
                                        pooled=pooled, cond_latents=cond_lat,
-                                       guidance=g)
+                                       guidance=g, txt_mask=txt_neg_mask)
                 v = cfg_combine(v_u, v_c, guidance)
             else:                        # flux: distilled guidance only
                 v = v_c
@@ -121,12 +184,14 @@ class DiTDepthEdit:
                              method=AutoencoderKL.decode)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-    def generate(self, depth, category_or_flag: str, size: int = 512,
-                 num_inference_steps: int | None = None) -> np.ndarray:
-        from genpc_tpu.categories import get_category
+    # ------------------------------------------------------------ drivers
+    @staticmethod
+    def _prep_depth(depth, size: int) -> np.ndarray:
         d = np.asarray(depth, np.float32)
         if d.ndim == 3 and d.shape[0] in (1, 3):
             d = d.transpose(1, 2, 0)
+        if d.ndim == 2:
+            d = d[..., None]
         if d.shape[-1] == 1:
             d = np.repeat(d, 3, axis=-1)
         if d.shape[0] != size:
@@ -134,33 +199,32 @@ class DiTDepthEdit:
             d = np.asarray(Image.fromarray(
                 (np.clip(d, 0, 1) * 255).astype(np.uint8)).resize(
                 (size, size), Image.BILINEAR), np.float32) / 255.0
+        return d
 
+    def generate_batch(self, depths, categories_or_flags: Sequence[str],
+                       size: int = 512,
+                       num_inference_steps: Optional[int] = None
+                       ) -> np.ndarray:
+        """Denoise B objects in ONE device program -> [B,size,size,3]."""
+        from genpc_tpu.categories import get_category
+        depths01 = np.stack([self._prep_depth(d, size) for d in depths])
         latent_hw = size // self.factor
         if self._params is None or self._latent_hw != latent_hw:
             self._latent_hw = latent_hw
             self._params = self._init_params(latent_hw)
-
-        category = get_category(category_or_flag)
-        txt, pooled = self.prompt_encoder.encode(
-            QWEN_PROMPT.format(category=category))
-        txt_neg, _ = self.prompt_encoder.encode(" ")
-        if txt.shape[-1] != self.dit_cfg.text_dim:
-            reps = -(-self.dit_cfg.text_dim // txt.shape[-1])
-            txt = jnp.tile(txt, (1, 1, reps))[..., :self.dit_cfg.text_dim]
-            txt_neg = jnp.tile(txt_neg, (1, 1, reps))[
-                ..., :self.dit_cfg.text_dim]
-        if self.dit_cfg.pooled_dim:
-            pd = self.dit_cfg.pooled_dim
-            reps = -(-pd // pooled.shape[-1])
-            pooled = jnp.tile(pooled, (1, reps))[..., :pd]
-        else:
-            pooled = None
-
+        cats = [get_category(f) for f in categories_or_flags]
+        txt, mask, neg, nmask, pooled = self._encode_prompts(cats, depths01)
         steps = num_inference_steps or self.steps
         self.rng, k = jax.random.split(self.rng)
-        img = self._sample(self._params, jnp.asarray(d * 2 - 1)[None],
-                           txt, txt_neg, pooled, k, steps, self.guidance)
-        return np.asarray(img[0])
+        img = self._sample(self._params, jnp.asarray(depths01 * 2 - 1),
+                           txt, mask, neg, nmask, pooled, k, steps,
+                           self.guidance)
+        return np.asarray(img)
+
+    def generate(self, depth, category_or_flag: str, size: int = 512,
+                 num_inference_steps: int | None = None) -> np.ndarray:
+        return self.generate_batch([depth], [category_or_flag], size,
+                                   num_inference_steps)[0]
 
 
 class FluxInpainter:
@@ -177,13 +241,17 @@ class FluxInpainter:
         self.backend = DiTDepthEdit(cfg, variant="flux", seed=seed)
 
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample(self, params, known_img, mask_img, txt, rng, steps: int,
-                guidance: float):
+    def _sample(self, params, known_img, mask_img, txt, pooled, rng,
+                steps: int, guidance: float):
         be = self.backend
         sched = FlowMatchEuler(steps)
         known_lat = be.vae.apply(params["vae"], known_img,
                                  method=AutoencoderKL.encode)
-        cond_lat = be._tile_channels(known_lat, be.dit_cfg.cond_channels)
+        cond_lat = known_lat
+        if cond_lat.shape[-1] != be.dit_cfg.cond_channels:
+            reps = -(-be.dit_cfg.cond_channels // cond_lat.shape[-1])
+            cond_lat = jnp.tile(cond_lat, (1, 1, 1, reps)
+                                )[..., :be.dit_cfg.cond_channels]
         # latent-resolution hole mask: any hole pixel in the patch -> hole
         f = be.factor
         m = mask_img[0, :, :, 0]
@@ -202,7 +270,8 @@ class FluxInpainter:
         def body(i, latents):
             t = jnp.full((1,), sched.timesteps[i])
             v = be.model.apply(params["dit"], latents, t, txt,
-                               cond_latents=cond_lat, guidance=g)
+                               pooled=pooled, cond_latents=cond_lat,
+                               guidance=g)
             latents = sched.step(v, i, latents)
             # composite: outside the hole, keep the known latents re-noised
             # to the NEXT step's time (x_t = (1-t)*x0 + t*noise for RF)
@@ -232,13 +301,15 @@ class FluxInpainter:
         if be._params is None or be._latent_hw != latent_hw:
             be._latent_hw = latent_hw
             be._params = be._init_params(latent_hw)
-        txt, _ = be.prompt_encoder.encode(prompt)
-        if txt.shape[-1] != be.dit_cfg.text_dim:
-            reps = -(-be.dit_cfg.text_dim // txt.shape[-1])
-            txt = jnp.tile(txt, (1, 1, reps))[..., :be.dit_cfg.text_dim]
+        txt, pooled = be.t5.encode(prompt)
+        if be.dit_cfg.pooled_dim and \
+                pooled.shape[-1] != be.dit_cfg.pooled_dim:
+            pd = be.dit_cfg.pooled_dim
+            reps = -(-pd // pooled.shape[-1])
+            pooled = jnp.tile(pooled, (1, reps))[..., :pd]
         be.rng, k = jax.random.split(be.rng)
         out = self._sample(be._params, jnp.asarray(x * 2 - 1)[None],
-                           jnp.asarray(m)[None, :, :, None], txt, k,
-                           steps, be.guidance)
+                           jnp.asarray(m)[None, :, :, None], txt, pooled,
+                           k, steps, be.guidance)
         out = np.asarray(out[0])
         return out.transpose(2, 0, 1) if chw else out

@@ -27,8 +27,17 @@ FlexiCubes.
 
 The multiview stage is a latent-diffusion UNet in the zero123plus
 (SD2-class) layout — preset "sd2" grafts the InstantMesh white-background
-UNet (spec_unet), conditioned on the input image's VAE tokens through
-cross-attention.
+UNet (spec_unet) — conditioned exactly the way the zero123plus pipeline
+conditions it (reference: tools/instantmesh.py:83-99,130-133):
+  * a CLIP ViT-H vision tower's global image embedding is ramped into
+    the SD2 text context token-by-token (prompt_embeds +
+    ramping_coefficients * image_embeds);
+  * REFERENCE ATTENTION: each step runs a write pass of the same UNet
+    over the noise-matched condition latents and concatenates every
+    self-attention's recorded tokens into the sample pass's key/values
+    (models/layers.py RefBank);
+  * classifier-free guidance 4.0 against a black-image condition, and
+    EulerAncestral sampling with trailing spacing + v-prediction.
 """
 
 from __future__ import annotations
@@ -44,7 +53,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from genpc_tpu.io.glb import Mesh
-from genpc_tpu.models.schedulers import DDIM
+from genpc_tpu.models.layers import RefBank
+from genpc_tpu.models.schedulers import EulerAncestral, cfg_combine
+from genpc_tpu.models.text_encoder import (CLIPTextConfig, CLIPTextModel,
+                                           CLIPVisionConfig,
+                                           CLIPVisionModel, clip_preprocess,
+                                           make_tokenizer)
 from genpc_tpu.models.unet import UNet2DCondition, UNetConfig
 from genpc_tpu.models.vae import AutoencoderKL, VAEConfig
 from genpc_tpu.ops.marching import marching_tetrahedra
@@ -346,11 +360,19 @@ class InstantMeshBackend:
         self.lrm_cfg = LRMConfig.preset("full" if full else "tiny")
         self.unet_cfg = UNetConfig.preset("sd2" if full else "tiny")
         self.vae_cfg = VAEConfig.preset("full" if full else "tiny")
+        self.txt_cfg = CLIPTextConfig.preset("clip_sd2" if full else "tiny")
+        self.vis_cfg = CLIPVisionConfig.preset("vit_h" if full else "tiny")
         self.factor = self.vae_cfg.spatial_factor
         self.mv_steps = 75 if full else 4   # reference: 75 steps
+        self.mv_guidance = 4.0              # zero123plus pipeline default
         self.lrm = TriplaneLRM(self.lrm_cfg)
         self.unet = UNet2DCondition(self.unet_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
+        self.clip_text = CLIPTextModel(self.txt_cfg)
+        self.clip_vision = CLIPVisionModel(self.vis_cfg)
+        self.tokenizer = make_tokenizer(
+            self.cfg.get("weights_dir"), self.txt_cfg.vocab_size,
+            self.txt_cfg.max_len)
         self._params = None
         self.rng = jax.random.PRNGKey(seed)
 
@@ -368,12 +390,21 @@ class InstantMeshBackend:
         pts = jnp.zeros((8, 3))
         lat = jnp.zeros((1, gh, gw, self.unet_cfg.in_channels))
         ctx = jnp.zeros((1, 16, self.unet_cfg.context_dim))
+        vp = self.vis_cfg.image_size
         params = {
             "lrm": self.lrm.init(rng, views, cams, pts),
             "unet": self.unet.init(jax.random.fold_in(rng, 1), lat,
                                    jnp.zeros((1,)), ctx),
             "vae": self.vae.init(jax.random.fold_in(rng, 2),
                                  jnp.zeros((1, vs, vs, 3))),
+            "clip_text": self.clip_text.init(
+                jax.random.fold_in(rng, 3),
+                jnp.zeros((1, self.txt_cfg.max_len), jnp.int32)),
+            "clip_vision": self.clip_vision.init(
+                jax.random.fold_in(rng, 4), jnp.zeros((1, vp, vp, 3))),
+            # zero123plus per-token ramping coefficients (pipeline config;
+            # overwritten by the shipped values on load)
+            "ramping": jnp.linspace(0.0, 1.0, self.txt_cfg.max_len),
         }
         weights_dir = self.cfg.get("weights_dir") if self.cfg else None
         if weights_dir:
@@ -382,32 +413,95 @@ class InstantMeshBackend:
         return params
 
     # ------------------------------------------------------------------
+    def _encode_context(self, params, image_01: np.ndarray):
+        """zero123plus conditioning context: empty-prompt SD2 text
+        embedding + ramping * CLIP-H global image embedding; the negative
+        row keeps the plain text embedding."""
+        ids = jnp.asarray(self.tokenizer(""))[None]
+        txt, _, _ = self.clip_text.apply(params["clip_text"], ids)
+        pix = jnp.asarray(clip_preprocess(image_01,
+                                          self.vis_cfg.image_size))
+        _, img_emb = self.clip_vision.apply(params["clip_vision"], pix)
+        ramp = params["ramping"][: txt.shape[1]]
+        pos = txt + ramp[None, :, None] * img_emb[:, None, :]
+        return jnp.concatenate([txt, pos], axis=0)     # [2(neg,pos),77,D]
+
+    def _mv_body(self, params, ctx_pair, cond_pair, sched):
+        """One zero123plus denoise step: reference-attention write pass
+        on the noise-matched condition latents (positive = input image,
+        negative = black), CFG read pass on the sample
+        (reference: zero123plus pipeline via tools/instantmesh.py:130)."""
+
+        def body(i, carry):
+            latents, rng = carry
+            rng, k1, k2 = jax.random.split(rng, 3)
+            t = jnp.full((2,), sched.timesteps[i], jnp.float32)
+            noisy_cond = sched.add_noise(
+                cond_pair, jax.random.normal(k1, cond_pair.shape), i)
+            noisy_cond = sched.scale_model_input(noisy_cond, i)
+            bank = RefBank("w")
+            self.unet.apply(params["unet"], noisy_cond, t, ctx_pair,
+                            ref=bank)
+            lat_in = sched.scale_model_input(latents, i)
+            lat_pair = jnp.tile(lat_in, (2, 1, 1, 1))
+            out = self.unet.apply(params["unet"], lat_pair, t, ctx_pair,
+                                  ref=RefBank("r", bank.tokens))
+            v = cfg_combine(out[0:1], out[1:2], self.mv_guidance)
+            latents = sched.step(v, i, latents,
+                                 jax.random.normal(k2, latents.shape))
+            return latents, rng
+
+        return body
+
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _multiview(self, params, image, rng, steps: int):
-        """input image -> 6 views as a 3x2 tiled grid (zero123plus role)."""
-        cond_lat = self.vae.apply(params["vae"], image,
+    def _mv_init(self, params, image, rng, steps: int):
+        cond_pos = self.vae.apply(params["vae"], image,
                                   method=AutoencoderKL.encode)
-        b, ch, cw, cc = cond_lat.shape
-        ctx = cond_lat.reshape(b, ch * cw, cc)
-        reps = -(-self.unet_cfg.context_dim // cc)
-        ctx = jnp.tile(ctx, (1, 1, reps))[..., :self.unet_cfg.context_dim]
+        cond_neg = self.vae.apply(params["vae"], -jnp.ones_like(image),
+                                  method=AutoencoderKL.encode)
+        cond_pair = jnp.concatenate([cond_neg, cond_pos], axis=0)
         gh, gw = self._grid_hw()
-        sched = DDIM(steps)
-        latents = jax.random.normal(rng, (1, gh, gw,
-                                          self.unet_cfg.in_channels))
+        sched = EulerAncestral(steps, spacing="trailing", prediction="v")
+        rng, k0 = jax.random.split(rng)
+        latents = jax.random.normal(
+            k0, (1, gh, gw, self.unet_cfg.in_channels)) \
+            * sched.init_noise_sigma
+        return latents, cond_pair, rng
 
-        def body(i, latents):
-            t = jnp.full((1,), sched.timesteps[i], jnp.float32)
-            eps = self.unet.apply(params["unet"], latents, t, ctx)
-            return sched.step(eps, i, latents)
+    @functools.partial(jax.jit, static_argnames=("self", "steps", "lo",
+                                                 "hi"),
+                       donate_argnums=(2,))   # donate latents
+    def _mv_chunk(self, params, latents, cond_pair, ctx_pair, rng,
+                  steps: int, lo: int, hi: int):
+        sched = EulerAncestral(steps, spacing="trailing", prediction="v")
+        body = self._mv_body(params, ctx_pair, cond_pair, sched)
+        return jax.lax.fori_loop(lo, hi, body, (latents, rng))
 
-        latents = jax.lax.fori_loop(0, steps, body, latents)
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _mv_decode(self, params, latents):
         grid = self.vae.apply(params["vae"], latents,
                               method=AutoencoderKL.decode)
         grid = jnp.clip(grid / 2 + 0.5, 0, 1)[0]      # [3*vs, 2*vs, 3]
         vs = self.lrm_cfg.view_size
         views = grid.reshape(3, vs, 2, vs, 3).transpose(0, 2, 1, 3, 4)
         return views.reshape(1, 6, vs, vs, 3)          # row-major 3x2 order
+
+    def _multiview(self, params, image, ctx_pair, rng, steps: int,
+                   chunk: int = 25):
+        """input image [1,vs,vs,3] in [-1,1] -> 6 views as a 3x2 grid.
+
+        EulerAncestral (trailing, v-pred) + CFG 4.0 + reference
+        attention, host-chunked into <=chunk-step jitted segments so a
+        75-step full-scale run stays under the tunnel watchdog's ~1 min
+        single-execution limit (same compile either way)."""
+        latents, cond_pair, rng = self._mv_init(params, image, rng, steps)
+        lo = 0
+        while lo < steps:
+            hi = min(lo + chunk, steps)
+            latents, rng = self._mv_chunk(params, latents, cond_pair,
+                                          ctx_pair, rng, steps, lo, hi)
+            lo = hi
+        return self._mv_decode(params, latents)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _density_grid(self, params, views, cameras):
@@ -442,8 +536,9 @@ class InstantMeshBackend:
             (vs, vs), Image.BILINEAR), np.float32) / 255.0
 
         self.rng, k = jax.random.split(self.rng)
+        ctx_pair = self._encode_context(self._params, img)
         views = self._multiview(self._params, jnp.asarray(img * 2 - 1)[None],
-                                k, self.mv_steps)
+                                ctx_pair, k, self.mv_steps)
         cams = jnp.asarray(zero123plus_cameras(
             self.lrm_cfg.num_views))[None]
         planes, sdf, _ = self._density_grid(self._params, views, cams)

@@ -63,6 +63,36 @@ class CLIPTextConfig:
         if name == "clip_g":
             return cls(hidden_dim=1280, num_layers=32, num_heads=20,
                        act="gelu", proj_dim=1280)
+        if name == "clip_sd2":
+            # SD2.1 / zero123plus text tower: OpenCLIP-H text, already
+            # truncated to 23 layers in the diffusers conversion
+            return cls(hidden_dim=1024, num_layers=23, num_heads=16,
+                       act="gelu")
+        raise ValueError(name)
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_dim: int = 1280
+    num_layers: int = 32
+    num_heads: int = 16
+    patch: int = 14
+    image_size: int = 224
+    act: str = "gelu"
+    proj_dim: int = 1024
+
+    @classmethod
+    def preset(cls, name: str) -> "CLIPVisionConfig":
+        if name == "tiny":
+            # proj matches the tiny text width (ramped into text context)
+            return cls(hidden_dim=64, num_layers=2, num_heads=4, patch=8,
+                       image_size=32, proj_dim=64)
+        if name == "vit_h":
+            # the zero123plus/SD2.1-unclip image encoder (OpenCLIP ViT-H,
+            # projection to the 1024-d text width; reference conditioning:
+            # tools/instantmesh.py:83-86 via the zero123plus pipeline's
+            # vision_encoder)
+            return cls()
         raise ValueError(name)
 
 
@@ -121,6 +151,59 @@ class CLIPTextModel(nn.Module):
                               dtype=jnp.float32,
                               name="text_projection")(pooled)
         return x, penult, pooled
+
+
+class CLIPVisionModel(nn.Module):
+    """HF CLIPVisionModelWithProjection: returns (tokens, image_embeds).
+
+    image_embeds = visual_projection(post_layernorm(cls token)) — the
+    1024-d global embedding zero123plus ramps into its text context.
+    Bidirectional attention (no causal mask), pre-layernorm after the
+    embeddings (HF's misspelled `pre_layrnorm`).
+    """
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, imgs):
+        cfg = self.cfg
+        b = imgs.shape[0]
+        x = nn.Conv(cfg.hidden_dim, (cfg.patch, cfg.patch),
+                    strides=(cfg.patch, cfg.patch), use_bias=False,
+                    dtype=jnp.bfloat16, name="patch_embedding")(imgs)
+        t = x.shape[1] * x.shape[2]
+        x = x.reshape(b, t, cfg.hidden_dim)
+        cls_emb = self.param("class_embedding",
+                             nn.initializers.normal(0.02),
+                             (cfg.hidden_dim,))
+        x = jnp.concatenate(
+            [jnp.tile(cls_emb[None, None], (b, 1, 1)), x], axis=1)
+        pos = nn.Embed(1 + (cfg.image_size // cfg.patch) ** 2,
+                       cfg.hidden_dim, name="position_embedding")(
+            jnp.arange(1 + t))
+        x = x + pos[None]
+        x = nn.LayerNorm(dtype=jnp.float32, name="pre_layrnorm")(x)
+        text_cfg = CLIPTextConfig(hidden_dim=cfg.hidden_dim,
+                                  num_heads=cfg.num_heads, act=cfg.act)
+        for i in range(cfg.num_layers):
+            x = CLIPBlock(text_cfg, name=f"layers_{i}")(x, None)
+        pooled = nn.LayerNorm(dtype=jnp.float32,
+                              name="post_layernorm")(x[:, 0])
+        emb = nn.Dense(cfg.proj_dim, use_bias=False, dtype=jnp.float32,
+                       name="visual_projection")(pooled)
+        return x, emb
+
+
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_preprocess(img: np.ndarray, size: int) -> np.ndarray:
+    """[H,W,3] in [0,1] -> CLIP-normalized [1,size,size,3]."""
+    from PIL import Image
+    x = np.asarray(Image.fromarray(
+        (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+        (size, size), Image.BICUBIC), np.float32) / 255.0
+    return ((x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD)[None]
 
 
 # ------------------------------------------------------------- tokenizers

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from genpc_tpu.models.layers import (
-    Downsample, ResnetBlock, SpatialTransformer, TimestepEmbed, Upsample,
-    timestep_embedding)
+    Downsample, RefBank, ResnetBlock, SpatialTransformer, TimestepEmbed,
+    Upsample, timestep_embedding)
 
 
 @dataclass(frozen=True)
@@ -82,7 +82,7 @@ class CrossAttnDownBlock(nn.Module):
     add_downsample: bool
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, ref=None):
         skips = []
         for i in range(self.cfg.layers_per_block):
             x = ResnetBlock(self.out_channels, self.cfg.temb_dim,
@@ -92,7 +92,8 @@ class CrossAttnDownBlock(nn.Module):
                 x = SpatialTransformer(self.out_channels, heads,
                                        depth=self.tf_depth,
                                        context_dim=self.cfg.context_dim,
-                                       name=f"attentions_{i}")(x, context)
+                                       name=f"attentions_{i}")(x, context,
+                                                               ref)
             skips.append(x)
         if self.add_downsample:
             x = Downsample(self.out_channels, name="downsample")(x)
@@ -107,7 +108,7 @@ class CrossAttnUpBlock(nn.Module):
     add_upsample: bool
 
     @nn.compact
-    def __call__(self, x, skips, temb, context):
+    def __call__(self, x, skips, temb, context, ref=None):
         for i in range(self.cfg.layers_per_block + 1):
             skip = skips.pop()
             x = jnp.concatenate([x, skip], axis=-1)
@@ -118,7 +119,8 @@ class CrossAttnUpBlock(nn.Module):
                 x = SpatialTransformer(self.out_channels, heads,
                                        depth=self.tf_depth,
                                        context_dim=self.cfg.context_dim,
-                                       name=f"attentions_{i}")(x, context)
+                                       name=f"attentions_{i}")(x, context,
+                                                               ref)
         if self.add_upsample:
             x = Upsample(self.out_channels, name="upsample")(x)
         return x
@@ -130,13 +132,13 @@ class MidBlock(nn.Module):
     tf_depth: int
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, ref=None):
         x = ResnetBlock(self.channels, self.cfg.temb_dim, name="resnets_0")(x, temb)
         if self.tf_depth > 0:
             heads = self.channels // self.cfg.attention_head_dim
             x = SpatialTransformer(self.channels, heads, depth=self.tf_depth,
                                    context_dim=self.cfg.context_dim,
-                                   name="attentions_0")(x, context)
+                                   name="attentions_0")(x, context, ref)
         x = ResnetBlock(self.channels, self.cfg.temb_dim, name="resnets_1")(x, temb)
         return x
 
@@ -148,7 +150,7 @@ class UNetCore(nn.Module):
     @nn.compact
     def __call__(self, latents, temb, context,
                  cond_residual: Optional[jnp.ndarray] = None,
-                 adapter_features=None):
+                 adapter_features=None, ref: Optional[RefBank] = None):
         cfg = self.cfg
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=jnp.bfloat16, name="conv_in")(latents)
@@ -161,12 +163,13 @@ class UNetCore(nn.Module):
                 x = x + adapter_features[level]   # T2I-adapter injection
             x, s = CrossAttnDownBlock(
                 cfg, ch, cfg.transformer_depths[level],
-                add_downsample=not last, name=f"down_{level}")(x, temb, context)
+                add_downsample=not last, name=f"down_{level}")(
+                x, temb, context, ref)
             skips += s
         mid_depth = (cfg.mid_depth if cfg.mid_depth is not None
                      else cfg.transformer_depths[-1])
         x = MidBlock(cfg, cfg.block_out_channels[-1],
-                     mid_depth, name="mid")(x, temb, context)
+                     mid_depth, name="mid")(x, temb, context, ref)
         return x, skips
 
 
@@ -182,7 +185,7 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, latents, t, context, added_cond=None,
                  control_residuals=None, cond_residual=None,
-                 adapter_features=None):
+                 adapter_features=None, ref: Optional[RefBank] = None):
         cfg = self.cfg
         temb = timestep_embedding(t, cfg.block_out_channels[0])
         temb = TimestepEmbed(cfg.temb_dim, name="time_embedding")(temb)
@@ -193,7 +196,7 @@ class UNet2DCondition(nn.Module):
 
         x, skips = UNetCore(cfg, name="core")(latents, temb, context,
                                               cond_residual,
-                                              adapter_features)
+                                              adapter_features, ref)
         if control_residuals is not None:
             mid_res, down_res = control_residuals
             x = x + mid_res
@@ -204,7 +207,7 @@ class UNet2DCondition(nn.Module):
             x = CrossAttnUpBlock(
                 cfg, ch, cfg.transformer_depths[level],
                 add_upsample=level > 0, name=f"up_{level}")(
-                x, skips, temb, context)
+                x, skips, temb, context, ref)
         x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
                          name="conv_norm_out")(x)
         x = nn.silu(x)

@@ -77,23 +77,58 @@ def _bpose_pick(carry):
 
 def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
                        iters: int, render_size: int,
-                       chunk: int | None = None):
+                       chunk: int | None = None,
+                       coarse_frac: float = 0.7,
+                       coarse_res: int | None = None):
     """[B,...] pose optimization; returns best 4x4 per object [B,4,4].
 
     Host-chunked: one fused 200-step program for a 13-object batch is a
     ~2 min single device execution, which trips the tunnel watchdog and
     kills the TPU worker — so the loop runs as POSE_CHUNK-step jitted
-    segments (identical math, one compile, short executions)."""
+    segments (identical math, one compile, short executions).
+
+    Coarse-to-fine (VERDICT r2 #5): the render+grad is ~75% of the step
+    cost at 224², so the first coarse_frac of the iterations runs at
+    half resolution (basin finding), then the carry's params+Adam state
+    transfer to a full-resolution phase whose best-loss tracking picks
+    the final pose — final accuracy is set by the full-res phase (the
+    reference renders 224² throughout, diff_obj_pose.py:108-134).
+    coarse_frac=0 reproduces the single-phase behavior exactly.
+    """
     from genpc_tpu.registration.pose_optim import POSE_CHUNK
     chunk = chunk or POSE_CHUNK
-    carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
-                        render_size)
-    done = 0
-    while done < iters:
-        n = min(chunk, iters - done)
-        carry = _bpose_steps(carry, comp, comp_col, part, radius, lr,
-                             n, render_size)
-        done += n
+    coarse_res = coarse_res or max(64, render_size // 2)
+    n_coarse = int(iters * coarse_frac)
+    if n_coarse < chunk:      # not worth a second compile
+        n_coarse = 0
+
+    def run(carry, n, res):
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            carry = _bpose_steps(carry, comp, comp_col, part, radius, lr,
+                                 k, res)
+            done += k
+        return carry
+
+    if n_coarse:
+        lo = _bpose_init(comp, comp_col, part, part_col, radius, lr,
+                         coarse_res)
+        lo = run(lo, n_coarse, coarse_res)
+        carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
+                            render_size)
+        # transfer basin + optimizer moments; best restarts at the new
+        # resolution (losses across resolutions are not comparable).
+        # best_params must be a COPY — the carry is donated, and the
+        # same buffer may not be donated twice in one call
+        carry["params"] = lo["params"]
+        carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
+        carry["opt"] = lo["opt"]
+        carry = run(carry, iters - n_coarse, render_size)
+    else:
+        carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
+                            render_size)
+        carry = run(carry, iters, render_size)
     return _bpose_pick(carry)
 
 
@@ -134,6 +169,13 @@ def batched_fine_search(src, tgt, cd_inv_weight: float = 0.5,
     S = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
     S[:, 0, 0], S[:, 1, 1], S[:, 2, 2] = best_scales.T
     return S, best_T
+
+
+@jax.jit
+def batched_similarity_refine(src, tgt):
+    """[B,N,3] partials -> [B,4,4] similarity transforms onto completes."""
+    from genpc_tpu.registration.icp import anisotropic_icp
+    return jax.vmap(lambda s, t: anisotropic_icp(s, t, 0.05))(src, tgt)
 
 
 @jax.jit
@@ -244,7 +286,8 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         pc, pcc, pp, ppc,
         jnp.float32(0.02), jnp.float32(cfg.get("pose_lr", 0.01)),
         int(cfg.get("pose_iters", 200)),
-        int(cfg.get("pose_render_size", 224)))
+        int(cfg.get("pose_render_size", 224)),
+        coarse_frac=float(cfg.get("pose_coarse_frac", 0.7)))
     diff_T = np.linalg.inv(np.asarray(T)).astype(np.float32)
 
     # normalize targets, transform sources into pose frame (host, per obj)
@@ -282,9 +325,10 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         cd_inv_weight=cd_inv_weight,
         scale_steps=int(cfg.get("fine_scale_steps", 10)))
 
-    # undo chain (reference order) and fuse, per object on host + batched NN
+    # undo chain (reference order) back into the input frame
     fused_n = int(cfg.get("fused_points", 20000))
-    for i, art in enumerate(arts):
+    final_s, final_t = [], []
+    for i in range(B):
         t = tgt_n[i]
         t = _apply(np.linalg.inv(S[i]), t)
         t = _apply(np.linalg.inv(fine_T[i]), t)
@@ -292,6 +336,29 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         t = _apply(np.linalg.inv(coarse_T[i]), t)
         t = _apply(np.linalg.inv(diff_T[i]), t)
         s = _apply(np.linalg.inv(diff_T[i]), s)
+        final_s.append(s)
+        final_t.append(t)
+
+    # final similarity snap in the input frame: the grid searches leave a
+    # few-percent residual scale/pose error that makes registration LOSE
+    # to the aligned fast path on already-aligned completions — one
+    # Umeyama ICP (partial -> complete, inverse applied to the complete)
+    # removes it (registration/icp.py:similarity_icp)
+    if bool(cfg.get("final_icp_refine", True)):
+        rs, rt = [], []
+        for i in range(B):
+            sd, _ = voxel_down_sample(final_s[i], 0.03)
+            td, _ = voxel_down_sample(final_t[i], 0.03)
+            rs.append(resample_fixed(sd, icp_n)[0].astype(np.float32))
+            rt.append(resample_fixed(td, icp_n)[0].astype(np.float32))
+        rs_d, rt_d = dp_sharded(mesh, jnp.asarray(np.stack(rs)),
+                                jnp.asarray(np.stack(rt)))
+        Tr = np.asarray(batched_similarity_refine(rs_d, rt_d))
+        for i in range(B):
+            final_t[i] = _apply(np.linalg.inv(Tr[i]), final_t[i])
+
+    for i, art in enumerate(arts):
+        s, t = final_s[i], final_t[i]
         # dedup + concat + fps + denoise (per object; sizes differ)
         d2, _ = nearest_neighbor(jnp.asarray(t), jnp.asarray(s))
         keep = np.asarray(d2) >= 1e-4
@@ -304,6 +371,27 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
                                                    20, 2.5))
         art.fused_xyz = pts[mask]
         art.fused_rgb = cols[mask]
+
+
+def _generate_images(cfg, dp, arts) -> None:
+    """Depth->image for a list of objects.
+
+    DiT backends batch the denoise loops across objects in one device
+    program (SURVEY §2.3; models/dit_depth.py generate_batch); backends
+    without a batched path fall back to the reference's per-object loop.
+    """
+    from genpc_tpu.categories import get_category
+    size = int(cfg.generate_res)
+    gen = dp.depth2image
+    if hasattr(gen, "generate_batch") and len(arts) > 1:
+        imgs = gen.generate_batch([a.depth for a in arts],
+                                  [a.flag for a in arts], size=size)
+        for art, img in zip(arts, imgs):
+            art.image = np.asarray(img)
+        return
+    for art in arts:
+        art.image = np.asarray(gen.generate(
+            art.depth, get_category(art.flag), size=size))
 
 
 def run_batched(cfg, flags: List[str], data_dir: str,
@@ -340,10 +428,7 @@ def run_batched(cfg, flags: List[str], data_dir: str,
     real_arts = arts[:n_real]
     # stage 1: one jitted program over the whole batch
     batched_stage1(cfg, arts, dp.viewpoints, dp=dp, mesh=mesh)
-    from genpc_tpu.categories import get_category
-    for art in real_arts:
-        art.image = np.asarray(dp.depth2image.generate(
-            art.depth, get_category(art.flag), size=int(cfg.generate_res)))
+    _generate_images(cfg, dp, real_arts)
     for art in arts[n_real:]:
         art.image = real_arts[-1].image
     sa.scale_adapter_batch(arts)
@@ -365,6 +450,8 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         if not os.path.exists(gt_path):
             continue
         gt, _ = load_xyz(gt_path)
+        from genpc_tpu.metrics.frame_fixes import apply_frame_fix
+        gt = apply_frame_fix(art.flag, gt)
         preds.append(np.asarray(art.fused_xyz, np.float32))
         gts.append(np.asarray(gt, np.float32))
         valid.append(art.flag)
@@ -395,7 +482,8 @@ def run_batched(cfg, flags: List[str], data_dir: str,
 
 
 def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
-                      batch: Optional[int] = None
+                      batch: Optional[int] = None,
+                      holdout_wedge_deg: float = 0.0
                       ) -> Dict[str, Dict[str, float]]:
     """Waymo LiDAR pipeline with batched stages (reference: main_lidar.py).
 
@@ -404,6 +492,13 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
     partial->completion UHD (reference: metric.py:105-132), computed as
     one batched NN program over repeat-padded clouds (duplicates never
     change a max-of-min).
+
+    holdout_wedge_deg > 0 enables the held-out-slice protocol (VERDICT
+    r2 #9): an azimuthal wedge of each scan is WITHHELD from the
+    pipeline, and the extra metric ``holdout_uhd`` measures the max
+    distance from the held-out points to the fused completion — a
+    completion-quality signal the partial->fused UHD cannot give (the
+    fused cloud contains the partial by construction).
     """
     from genpc_tpu.categories import get_category
     from genpc_tpu.ops.chamfer import chamfer_nn
@@ -414,8 +509,21 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
     n_in = int(cfg.get("input_points", 65536))
 
     arts = []
+    heldout: Dict[str, np.ndarray] = {}
     for flag in flags:
         xyz, rgb = load_xyz(os.path.join(data_dir, category, f"{flag}.ply"))
+        if holdout_wedge_deg > 0.0:
+            c = xyz.mean(0)
+            az = np.degrees(np.arctan2(xyz[:, 1] - c[1], xyz[:, 0] - c[0]))
+            # wedge centered on the densest azimuth's antipode so the
+            # remaining cloud still anchors the viewpoint selection
+            hist, edges = np.histogram(az, bins=36, range=(-180, 180))
+            center = (edges[hist.argmax()] + 5.0 + 180.0)
+            d = (az - center + 180.0) % 360.0 - 180.0
+            held = np.abs(d) < holdout_wedge_deg / 2.0
+            if held.any() and (~held).sum() > 1024:
+                heldout[flag] = xyz[held].astype(np.float32)
+                xyz, rgb = xyz[~held], rgb[~held]
         rng = np.random.default_rng(0)
         idx = rng.choice(len(xyz), n_in, replace=len(xyz) < n_in)
         arts.append(ObjectArtifacts(flag=flag, xyz=xyz[idx], rgb=rgb[idx]))
@@ -428,9 +536,7 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
     real_arts = arts[:n_real]
 
     batched_stage1(cfg, arts, dp.viewpoints, dp=dp, mesh=mesh)
-    for art in real_arts:
-        art.image = np.asarray(dp.depth2image.generate(
-            art.depth, get_category(art.flag), size=int(cfg.generate_res)))
+    _generate_images(cfg, dp, real_arts)
     for art in arts[n_real:]:
         art.image = real_arts[-1].image
     sa.scale_adapter_batch(arts)
@@ -454,7 +560,17 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
     p_d, f_d = dp_sharded(mesh, jnp.asarray(partials), jnp.asarray(fused))
     d2, _, _, _ = jax.jit(chamfer_nn)(p_d, f_d)
     h = np.sqrt(np.maximum(np.asarray(d2), 0.0)).max(axis=1)
-    return {a.flag: {"uhd": float(h[i])} for i, a in enumerate(arts)}
+    results = {a.flag: {"uhd": float(h[i])} for i, a in enumerate(arts)}
+    if heldout:
+        from genpc_tpu.ops.chamfer import nearest_neighbor
+        for i, a in enumerate(arts):
+            if a.flag not in heldout:
+                continue
+            d2h, _ = nearest_neighbor(jnp.asarray(heldout[a.flag]),
+                                      jnp.asarray(a.fused_xyz, jnp.float32))
+            results[a.flag]["holdout_uhd"] = float(
+                np.sqrt(np.maximum(np.asarray(d2h), 0.0)).max())
+    return results
 
 
 # -------------------------------------------------------- batched stage 1

@@ -80,9 +80,16 @@ class DepthPrompting:
         sampled, _ = farthest_point_sample(xyz, cfg.downsample_num)
         if cfg.get("visibility", "zbuffer") == "zbuffer":
             from genpc_tpu.ops.hpr import select_best_view
+            # the coarse pass scores an FPS-ordered PREFIX; when the
+            # cloud is smaller than downsample_num, FPS degrades to the
+            # original (possibly scanline) order, so score every point
+            # instead of a spatially biased prefix (ADVICE r2 #2)
+            n_coarse = int(cfg.get("select_coarse_points", 2500))
+            if len(xyz) <= int(cfg.downsample_num):
+                n_coarse = len(sampled)
             return int(select_best_view(
                 jnp.asarray(sampled), jnp.asarray(self.viewpoints),
-                n_coarse=int(cfg.get("select_coarse_points", 2500)),
+                n_coarse=n_coarse,
                 topk=int(cfg.get("select_topk", 48))))
         vis = visible_points(np.asarray(sampled), self.viewpoints,
                              cfg.removal_radius, method="hpr")

@@ -180,6 +180,19 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
     tgt_n = _apply(np.linalg.inv(diff_transform), tgt_n)
     src_w = _apply(np.linalg.inv(diff_transform), src_w)
 
+    # 5b. final similarity snap (rebuild improvement; no reference
+    # counterpart): the scale grids leave a few-percent residual error —
+    # one Umeyama ICP partial->complete in the input frame removes it
+    if bool(cfg.get("final_icp_refine", True)):
+        from genpc_tpu.registration.icp import anisotropic_icp
+        sd, _ = voxel_down_sample(src_w, 0.03)
+        td, _ = voxel_down_sample(tgt_n, 0.03)
+        sd, _ = resample_fixed(sd, icp_n)
+        td, _ = resample_fixed(td, icp_n)
+        Tr = np.asarray(anisotropic_icp(sd.astype(np.float32),
+                                        td.astype(np.float32), 0.05))
+        tgt_n = _apply(np.linalg.inv(Tr), tgt_n)
+
     # 6. fuse (reg_xyz.py:210-223)
     fused, fused_rgb = fuse_clouds(
         src_w, tgt_n, src_rgb, tgt_rgb,

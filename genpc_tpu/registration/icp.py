@@ -79,6 +79,115 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
     return T, fitness, rmse
 
 
+def umeyama(src: jnp.ndarray, tgt: jnp.ndarray, weights: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Weighted similarity alignment src->tgt: returns (c, R, t) with
+    x -> c·R·x + t (Umeyama 1991 closed form)."""
+    w = weights / jnp.maximum(weights.sum(), 1e-12)
+    ms = jnp.sum(src * w[:, None], axis=0)
+    mt = jnp.sum(tgt * w[:, None], axis=0)
+    xs = src - ms
+    xt = tgt - mt
+    H = xs.T @ (xt * w[:, None])
+    U, D, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    S = jnp.array([1.0, 1.0, 1.0]).at[2].set(d)
+    R = Vt.T @ jnp.diag(S) @ U.T
+    var_s = jnp.sum((xs ** 2) * w[:, None])
+    c = jnp.sum(D * S) / jnp.maximum(var_s, 1e-12)
+    t = mt - c * (R @ ms)
+    return c, R, t
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def similarity_icp(source: jnp.ndarray, target: jnp.ndarray,
+                   max_correspondence_distance: float = 0.05,
+                   iters: int = 30) -> jnp.ndarray:
+    """ICP with per-iteration closed-form scale (Umeyama update).
+
+    Used as the FINAL input-frame refinement after the reference's undo
+    chain: the coarse/fine stages only sample scale on a grid (11
+    isotropic values, then 10 steps/axis ≈ 4.4% resolution), so the
+    returned alignment carries up to a few-percent residual scale error;
+    one similarity ICP from the near-aligned start removes it.  No
+    reference counterpart (reg_xyz.py stops after the grid) — this is a
+    rebuild improvement, gated by cfg.final_icp_refine.
+
+    Returns T 4x4 mapping source into target's frame (T[:3,:3] = c·R).
+    """
+    src = jnp.asarray(source, jnp.float32)
+    tgt = jnp.asarray(target, jnp.float32)
+    thresh2 = jnp.float32(max_correspondence_distance) ** 2
+
+    def body(_, T):
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        d2, idx = _nn(moved[None], tgt[None])
+        d2, idx = d2[0], idx[0]
+        w = (d2 <= thresh2).astype(jnp.float32)
+        any_in = w.sum() > 2
+        c, R, t = umeyama(moved, tgt[idx],
+                          jnp.where(any_in, w, jnp.ones_like(w)))
+        dT = (jnp.eye(4, dtype=jnp.float32)
+              .at[:3, :3].set(c * R).at[:3, 3].set(t))
+        return jnp.where(any_in, dT @ T, T)
+
+    return jax.lax.fori_loop(0, iters, body,
+                             jnp.eye(4, dtype=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "inner"))
+def anisotropic_icp(source: jnp.ndarray, target: jnp.ndarray,
+                    max_correspondence_distance: float = 0.05,
+                    iters: int = 30, inner: int = 2) -> jnp.ndarray:
+    """ICP with a per-axis scale model x -> R·diag(s)·x + t.
+
+    The registration chain's residual on already-aligned inputs is not a
+    similarity: the fine grid's anisotropic S is undone out of order
+    (reference quirk, reg_xyz.py:194-199) and its candidates are scored
+    on the UNREGISTERED scaled source (reg_xyz.py:75-83), so the net
+    error composes to R1·diag·R2.  From a near-aligned start this
+    alternating solver (Kabsch for R,t; per-axis least squares for s,
+    clamped to ±25%) cancels the dominant part.
+
+    Returns T 4x4 with T[:3,:3] = R·diag(s).
+    """
+    src = jnp.asarray(source, jnp.float32)
+    tgt = jnp.asarray(target, jnp.float32)
+    thresh2 = jnp.float32(max_correspondence_distance) ** 2
+
+    def body(_, T):
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        d2, idx = _nn(moved[None], tgt[None])
+        d2, idx = d2[0], idx[0]
+        w0 = (d2 <= thresh2).astype(jnp.float32)
+        any_in = w0.sum() > 8
+        w = jnp.where(any_in, w0, jnp.ones_like(w0))
+        y = tgt[idx]
+
+        def alternate(_, carry):
+            R, s, t = carry
+            # per-axis scale: min over s_k of || R diag(s) x + t - y ||
+            # -> s_k = <x_k, (Rᵀ(y - t))_k> / <x_k, x_k> (weighted)
+            yb = (y - t) @ R            # Rᵀ applied rowwise
+            num = jnp.sum(w[:, None] * moved * yb, axis=0)
+            den = jnp.sum(w[:, None] * moved * moved, axis=0)
+            s = jnp.clip(num / jnp.maximum(den, 1e-12), 0.75, 1.25)
+            # rigid part on the scaled points
+            R, t = kabsch(moved * s[None, :], y, w)
+            return R, s, t
+
+        R0 = jnp.eye(3, dtype=jnp.float32)
+        s0 = jnp.ones(3, jnp.float32)
+        t0 = jnp.zeros(3, jnp.float32)
+        R, s, t = jax.lax.fori_loop(0, inner, alternate, (R0, s0, t0))
+        dT = (jnp.eye(4, dtype=jnp.float32)
+              .at[:3, :3].set(R @ jnp.diag(s)).at[:3, 3].set(t))
+        return jnp.where(any_in, dT @ T, T)
+
+    return jax.lax.fori_loop(0, iters, body,
+                             jnp.eye(4, dtype=jnp.float32))
+
+
 def _scale_mat(s) -> jnp.ndarray:
     s3 = jnp.broadcast_to(jnp.asarray(s, jnp.float32), (3,))
     return jnp.diag(jnp.concatenate([s3, jnp.ones(1, jnp.float32)]))

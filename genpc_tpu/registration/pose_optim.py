@@ -65,15 +65,24 @@ def _transform_points(params, vert_pos, center):
     return local + center + params["trans"], R, scale
 
 
+# per-pixel depth slots for the slotted renderer inside the pose loss.
+# The callers feed voxel-0.02 downsamples of range-normalized clouds
+# (pipeline/registration.py:117-121), whose per-center-pixel occupancy at
+# 224² stays under this bound; points beyond it are dropped silently, so
+# denser inputs must raise it (ADVICE r2 #4: do not feed raw clouds).
+POSE_RENDER_SLOTS = 6
+
+
 def pose_loss(params, vert_pos, vert_col, center, partial_xyz,
               ref_img, ref_mask, camera, radius, gamma=1e-2,
-              footprint=2):
+              footprint=2, slots=POSE_RENDER_SLOTS):
     pts, R, scale = _transform_points(params, vert_pos, center)
     # 'slots' renderer: bitwise deterministic by construction (fixed
     # accumulation order) and ~1.6x faster than the scatter path on TPU
     # (Pallas tile kernel, render/splat_kernel.py)
     result = render_points(pts, vert_col, radius, camera, gamma=gamma,
-                           footprint=footprint, method="slots")
+                           footprint=footprint, method="slots",
+                           slots=slots)
     ref_n, result_n = _normalize_images(ref_img, result)
     mask_result = soft_mask(result_n)
     mask_ref = soft_mask(ref_n)

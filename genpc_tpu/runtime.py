@@ -27,36 +27,15 @@ def _enable_compilation_cache():
 _enable_compilation_cache()
 
 
-_FORCED_IMPL: str | None = None
-
-
-class force_impl:
-    """Trace-time impl override: ``with force_impl('xla'): jitted(...)``.
-
-    Kernel dispatch (use_pallas) is read while a jitted function TRACES,
-    so wrapping every call site of a jit keeps the choice in force across
-    retraces.  Used by the pose optimizer: its 52-way-vmapped chamfer
-    loss faults the Mosaic kernel, and at 2k×2k the dense XLA expansion
-    is the better MXU program anyway.
-    """
-
-    def __init__(self, impl: str):
-        self.impl = impl
-
-    def __enter__(self):
-        global _FORCED_IMPL
-        self._prev = _FORCED_IMPL
-        _FORCED_IMPL = self.impl
-        return self
-
-    def __exit__(self, *exc):
-        global _FORCED_IMPL
-        _FORCED_IMPL = self._prev
-        return False
-
-
 def use_pallas() -> bool:
-    impl = _FORCED_IMPL or os.environ.get("GENPC_IMPL", "auto")
+    """Kernel dispatch, read at TRACE time of each jitted program.
+
+    Process-wide only (GENPC_IMPL env var): a scoped override would be
+    unsound because jit caches don't key on it — a same-shape executable
+    traced before the override would be silently reused (ADVICE r2 #3;
+    the old ``force_impl`` context manager was removed for this reason).
+    """
+    impl = os.environ.get("GENPC_IMPL", "auto")
     if impl == "xla":
         return False
     if impl == "pallas":

@@ -503,3 +503,40 @@ def test_qwen_vl_legacy_key_layout_converts():
         "model.language_model.layers.3.self_attn.q_proj.weight")
     assert qwen_vl_name_to_flax("visual.blocks.2.attn.qkv.weight") == \
         qwen_vl_name_to_flax("model.visual.blocks.2.attn.qkv.weight")
+
+
+# ------------------------------------------------------------ CLIP vision
+
+def test_clip_vision_conversion_tiny_values():
+    from genpc_tpu.models.text_encoder import (CLIPVisionConfig,
+                                               CLIPVisionModel)
+    from genpc_tpu.models.weights import (clip_vision_name_to_flax,
+                                          convert_clip_vision)
+    cfg = CLIPVisionConfig.preset("tiny")
+    model = CLIPVisionModel(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    spec = specs.spec_clip_vision(cfg)
+    converted = {clip_vision_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(params), converted, "clip-vision-tiny")
+    params2 = graft_weights(params, convert_clip_vision(
+        synthetic_checkpoint(spec)), {}, "clip-vision-test", strict=True)
+    _, emb = model.apply(params2, img)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_clip_vision_conversion_full_shapes():
+    from genpc_tpu.models.text_encoder import (CLIPVisionConfig,
+                                               CLIPVisionModel)
+    from genpc_tpu.models.weights import clip_vision_name_to_flax
+    cfg = CLIPVisionConfig.preset("vit_h")
+    model = CLIPVisionModel(cfg)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3))))
+    spec = specs.spec_clip_vision(cfg)
+    converted = {clip_vision_name_to_flax(k): v for k, v in spec.items()}
+    _check(tree_shapes(shapes), converted, "clip-vision-full")
+    assert spec["visual_projection.weight"] == (1024, 1280)
+    n = sum(int(np.prod(s)) for s in spec.values())
+    assert 0.5e9 < n < 0.75e9   # OpenCLIP ViT-H vision is ~630M

@@ -399,3 +399,42 @@ def test_graft_weights_end_to_end(tmp_path):
     out = model.apply(grafted, jnp.ones((1, 8, 8, 4)), jnp.ones((1,)),
                       jnp.ones((1, 8, cfg.context_dim)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_controlnet_chunked_denoise_matches_fused():
+    """The host-chunked denoise (full-scale watchdog path) is the same
+    math as the single fori_loop — identical schedule and noise keys —
+    so outputs must match to float tolerance."""
+    import jax
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.controlnet_depth import ControlNetDepth
+
+    d = np.random.default_rng(0).uniform(size=(32, 32)).astype(np.float32)
+    be1 = ControlNetDepth(load_config(save=False, model_size="tiny"),
+                          seed=3)
+    img1 = be1.generate(d, "01184", size=32, num_inference_steps=4)
+    be2 = ControlNetDepth(load_config(save=False, model_size="tiny",
+                                      denoise_chunk=3), seed=3)
+    img2 = be2.generate(d, "01184", size=32, num_inference_steps=4)
+    np.testing.assert_allclose(img1, img2, atol=2e-5)
+
+
+def test_batched_pose_optim_coarse_to_fine_runs():
+    """Two-phase pose optimization produces a valid transform batch and
+    coarse_frac=0 reproduces the single-phase path."""
+    import jax.numpy as jnp
+    from genpc_tpu.parallel.batched_runner import batched_pose_optim
+    r = np.random.default_rng(0)
+    comp = jnp.asarray(r.normal(size=(2, 128, 3)), jnp.float32) * 0.2
+    cols = jnp.full((2, 128, 3), 0.5, jnp.float32)
+    part = comp[:, :64] + 0.01
+    pcol = cols[:, :64]
+    T2 = batched_pose_optim(comp, cols, part, pcol, jnp.float32(0.02),
+                            jnp.float32(0.01), 12, 64, chunk=4,
+                            coarse_frac=0.5, coarse_res=32)
+    assert T2.shape == (2, 4, 4)
+    assert np.isfinite(np.asarray(T2)).all()
+    T1 = batched_pose_optim(comp, cols, part, pcol, jnp.float32(0.02),
+                            jnp.float32(0.01), 12, 64, chunk=4,
+                            coarse_frac=0.0)
+    assert np.isfinite(np.asarray(T1)).all()

@@ -270,8 +270,11 @@ def test_select_best_view_matches_full_density(rng):
     counts = full.sum(-1)
     chosen = int(select_best_view(jnp.asarray(pts), jnp.asarray(views),
                                   n_coarse=1000, topk=24))
-    # the chosen view's full-density count within 2% of the argmax count
-    assert counts[chosen] >= 0.98 * counts.max()
+    # the chosen view's full-density count within 5% of the argmax count.
+    # 5% (not 2%): the persistent XLA cache can replay AOT results
+    # compiled on a different host whose backend numerics drift slightly,
+    # flipping borderline argmaxes (ADVICE r2 #1)
+    assert counts[chosen] >= 0.95 * counts.max()
 
 
 def test_select_best_view_real_scans_vs_exact_hpr():

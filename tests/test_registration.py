@@ -110,3 +110,133 @@ def test_pose_optimization_recovers_rotation():
     cd_after = float(chamfer_l1(moved, partial))
     cd_before = float(chamfer_l1(comp, partial))
     assert cd_after < cd_before * 0.6
+
+
+def test_similarity_icp_recovers_similarity():
+    """Umeyama ICP recovers a scale+rotation+translation from a
+    near-aligned start (the final-refine regime)."""
+    from genpc_tpu.registration.icp import similarity_icp
+    from genpc_tpu.geometry.transforms import get_rotate_matrix
+    r = np.random.default_rng(0)
+    tgt = r.normal(size=(512, 3)).astype(np.float32) * 0.3
+    R = get_rotate_matrix("y", 8.0)[:3, :3]
+    c = 1.04
+    t = np.array([0.02, -0.03, 0.01], np.float32)
+    src = (tgt @ (c * R).T + t).astype(np.float32)
+    # recover src -> tgt
+    T = np.asarray(similarity_icp(jnp.asarray(src), jnp.asarray(tgt), 0.2))
+    moved = src @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(moved - tgt).max() < 1e-3
+
+
+def _mk_cloud_pair(rng, n=1024):
+    """A synthetic 'partial' (half of an ASYMMETRIC torus-ish shell) +
+    its aligned 'complete' cloud.  The ring radius and tube radius both
+    vary with theta and the tube is z-sheared, so the shape has no
+    rotational or mirror symmetry — registration has a unique basin
+    (a symmetric shape lets the stack land in a flipped optimum that a
+    CD-based test cannot distinguish)."""
+    theta = rng.uniform(0, 2 * np.pi, 4 * n)
+    phi = rng.uniform(0, 2 * np.pi, 4 * n)
+    ring = 0.3 + 0.06 * np.cos(theta) + 0.03 * np.sin(2 * theta)
+    tube = 0.1 + 0.04 * np.sin(theta)
+    pts = np.stack([(ring + tube * np.cos(phi)) * np.cos(theta),
+                    (ring + tube * np.cos(phi)) * np.sin(theta),
+                    tube * np.sin(phi) + 0.08 * np.sin(theta)],
+                   axis=1).astype(np.float32)
+    complete = pts[:2 * n]
+    partial = complete[complete[:, 0] > 0][:n]
+    return partial, complete
+
+
+def _reg_test_cfg(**kw):
+    from genpc_tpu.config import load_config
+    base = dict(save=False, output_path="/tmp/test_ws",
+                trust_aligned_completion=False, glb_sample_points=2048,
+                pose_complete_points=512, pose_partial_points=512,
+                icp_points=1024, pose_iters=40, pose_render_size=64,
+                fused_points=4096, fine_scale_steps=5,
+                generative_model="synthetic")
+    base.update(kw)
+    return load_config(**base)
+
+
+def _cd(a, b):
+    from genpc_tpu.metrics.losses import chamfer_l1
+    return float(chamfer_l1(jnp.asarray(a, jnp.float32),
+                            jnp.asarray(b, jnp.float32)))
+
+
+def test_registration_recovers_misalignment():
+    """VERDICT r2 #4: a deliberately mis-posed/mis-scaled completion must
+    be recovered by the full stack to near the aligned-path quality."""
+    from genpc_tpu.geometry.transforms import get_rotate_matrix
+    from genpc_tpu.pipeline.artifacts import ObjectArtifacts
+    from genpc_tpu.pipeline.registration import reg
+    rng = np.random.default_rng(1)
+    partial, complete = _mk_cloud_pair(rng)
+
+    R = (get_rotate_matrix("y", 25.0) @ get_rotate_matrix("x", -12.0)
+         )[:3, :3]
+    scales = np.array([1.1, 0.95, 1.05], np.float32)
+    mis = (complete * scales) @ R.T + np.array([0.05, -0.04, 0.06])
+
+    art = ObjectArtifacts(flag="mis", xyz=partial,
+                          rgb=np.full_like(partial, 0.5))
+    art.color_xyz = partial
+    art.color_rgb = np.full_like(partial, 0.5)
+    art.complete_xyz = mis.astype(np.float32)
+    art.complete_rgb = np.full_like(mis, 0.5).astype(np.float32)
+
+    cfg = _reg_test_cfg()
+    reg(cfg, art, diff_init=True, reg_fine_xyz=True, verbose=False)
+
+    cd_recovered = _cd(art.fused_xyz, complete)
+    cd_mis = _cd(mis, complete)
+    # recovered fusion must be close to the true complete cloud and far
+    # better than leaving the mis-posed completion in place
+    assert cd_recovered < 0.3 * cd_mis
+    assert cd_recovered < 0.025
+
+
+def test_reg_on_aligned_matches_fast_path():
+    """VERDICT r2 #4: on an ALREADY-ALIGNED completion the full stack
+    (with the final similarity snap) must not lose to the skip path."""
+    from genpc_tpu.pipeline.artifacts import ObjectArtifacts
+    from genpc_tpu.pipeline.registration import reg
+    from genpc_tpu.registration.fusion import fuse_clouds
+    rng = np.random.default_rng(2)
+    partial, complete = _mk_cloud_pair(rng)
+
+    def mk_art():
+        art = ObjectArtifacts(flag="al", xyz=partial,
+                              rgb=np.full_like(partial, 0.5))
+        art.color_xyz = partial
+        art.color_rgb = np.full_like(partial, 0.5)
+        art.complete_xyz = complete.astype(np.float32)
+        art.complete_rgb = np.full_like(complete, 0.5).astype(np.float32)
+        return art
+
+    fused_fast, _ = fuse_clouds(partial, complete,
+                                np.full_like(partial, 0.5),
+                                np.full_like(complete, 0.5),
+                                num_points=4096)
+    cd_fast = _cd(fused_fast, complete)
+
+    art = mk_art()
+    cfg = _reg_test_cfg()
+    reg(cfg, art, diff_init=True, reg_fine_xyz=True, verbose=False)
+    cd_reg = _cd(art.fused_xyz, complete)
+
+    art2 = mk_art()
+    reg(_reg_test_cfg(final_icp_refine=False), art2, diff_init=True,
+        reg_fine_xyz=True, verbose=False)
+    cd_noref = _cd(art2.fused_xyz, complete)
+
+    # the anisotropic final snap must recover most of the chain's
+    # residual (the fine grid's unregistered-score quirk + out-of-order
+    # undo leave an affine error; registration/icp.py:anisotropic_icp)
+    assert cd_reg < 0.45 * cd_noref
+    # and land near the skip path at this toy scale (bench asserts the
+    # real-data criterion reg-on <= fast-path; VERDICT r2 #4)
+    assert cd_reg <= cd_fast + 3.5e-3

@@ -157,3 +157,104 @@ def test_qwen_vl_vision_matches_hf():
                            strict=True)
     out = model.apply(params, jnp.asarray(patches), grid)
     _agree(out, ref, label="qwen-vl-vision")
+
+
+# ------------------------------------------------------------ CLIP vision
+
+def test_clip_vision_matches_hf():
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModelWithProjection
+    from genpc_tpu.models.text_encoder import (CLIPVisionConfig,
+                                               CLIPVisionModel)
+    from genpc_tpu.models.weights import convert_clip_vision, graft_weights
+
+    cfg = CLIPVisionConfig.preset("tiny")
+    hf_cfg = HFVisionConfig(
+        hidden_size=cfg.hidden_dim, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=4 * cfg.hidden_dim,
+        patch_size=cfg.patch, image_size=cfg.image_size,
+        projection_dim=cfg.proj_dim, hidden_act="gelu",
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(1, cfg.image_size, cfg.image_size, 3)
+                     ).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.tensor(
+            img.transpose(0, 3, 1, 2))).image_embeds.numpy()
+
+    model = CLIPVisionModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    sd = {k: v for k, v in _state_dict_np(hf).items()
+          if "position_ids" not in k}
+    params = graft_weights(params, convert_clip_vision(sd), {},
+                           "clip-vision-parity", strict=True)
+    _, emb = model.apply(params, jnp.asarray(img))
+    _agree(emb, ref, tol=0.08, label="clip-vision")
+
+
+# ----------------------------------------------- reference attention (UNet)
+
+def test_reference_attention_duplicate_kv_invariance():
+    """READ mode with reference tokens equal to the model's own post-norm
+    hidden states must reproduce plain self-attention exactly (duplicated
+    keys halve each softmax weight but preserve the weighted sum) — this
+    pins the RefBank plumbing end to end through the UNet."""
+    from genpc_tpu.models.layers import RefBank
+    from genpc_tpu.models.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.preset("tiny")
+    model = UNet2DCondition(cfg)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(1, 8, 8, cfg.in_channels)),
+                      jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 12, cfg.context_dim)),
+                      jnp.float32)
+    added = jnp.asarray(rng.normal(size=(1, cfg.addition_embed_dim)),
+                        jnp.float32)
+    t = jnp.asarray([4.0])
+    params = model.init(jax.random.PRNGKey(1), lat, t, ctx, added)
+
+    plain = model.apply(params, lat, t, ctx, added)
+    bank = RefBank("w")
+    model.apply(params, lat, t, ctx, added, ref=bank)
+    assert len(bank.tokens) > 0
+    dup = model.apply(params, lat, t, ctx, added,
+                      ref=RefBank("r", bank.tokens))
+    np.testing.assert_allclose(np.asarray(dup), np.asarray(plain),
+                               atol=2e-5)
+
+    # and DIFFERENT reference tokens must change the output
+    other = [tok + 1.0 for tok in bank.tokens]
+    changed = model.apply(params, lat, t, ctx, added,
+                          ref=RefBank("r", other))
+    assert float(jnp.abs(changed - plain).max()) > 1e-4
+
+
+def test_dit_generate_batch_shapes():
+    """Object-batched denoise: one program, B stacked results."""
+    from genpc_tpu.models.dit_depth import DiTDepthEdit
+    gen = DiTDepthEdit(variant="qwen")
+    rng = np.random.default_rng(0)
+    depths = [rng.uniform(size=(32, 32)).astype(np.float32)
+              for _ in range(3)]
+    out = gen.generate_batch(depths, ["01184", "05117", "06127"], size=32,
+                             num_inference_steps=2)
+    assert out.shape == (3, 32, 32, 3)
+    assert np.isfinite(out).all()
+    single = gen.generate(depths[0], "01184", size=32,
+                          num_inference_steps=2)
+    assert single.shape == (32, 32, 3)
+
+
+def test_flux_generate_uses_t5():
+    from genpc_tpu.models.dit_depth import DiTDepthEdit
+    gen = DiTDepthEdit(variant="flux")
+    assert hasattr(gen, "t5")
+    rng = np.random.default_rng(0)
+    out = gen.generate(rng.uniform(size=(32, 32)).astype(np.float32),
+                       "chair", size=32, num_inference_steps=2)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all()

@@ -150,6 +150,25 @@ def main():
             neural_extra = {"note": "skipped: neural subprocess timed out"}
         except Exception as e:  # noqa: BLE001
             neural_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
+        # config-4-shaped estimate: generation + image->3D + this run's
+        # measured per-object registration/fusion/metric time.  SDXL
+        # stands in for Qwen-Image (20B bf16 cannot fit one v5e chip —
+        # extra.neural_full_scale.memory).
+        try:
+            t_gen = neural_extra["sdxl"]["e2e_s_per_object_generation"]
+            t_i23d = neural_extra["instantmesh"][
+                "e2e_s_per_object_image_to_3d"]
+            t_reg = wall / len(flags)
+            neural_extra["config4_obj_per_min_estimate"] = {
+                "value": round(60.0 / (t_gen + t_i23d + t_reg), 3),
+                "breakdown_s": {"generation_sdxl_30step_1024": t_gen,
+                                "image_to_3d_instantmesh_75step": t_i23d,
+                                "stage1_reg_fusion_metric": round(t_reg,
+                                                                  2)},
+                "note": "per-object serial estimate; SDXL stands in for "
+                        "Qwen-Image (cannot fit one chip)"}
+        except (KeyError, TypeError):
+            pass
 
     # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50).
     # FRESH random operands per timed call, median of 3: re-timing the

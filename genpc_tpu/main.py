@@ -78,11 +78,13 @@ def run_pipeline(cfg: Config, flags: List[str], data_dir: str,
                     from genpc_tpu.metrics.frame_fixes import \
                         apply_frame_fix
                     gt = apply_frame_fix(flag, gt)
+                    from genpc_tpu.parallel.mesh import get_mesh
                     m = evaluate_pair(art.fused_xyz, gt,
                                       num_points=int(cfg.metric_points),
                                       emd_eps=float(cfg.emd_eps),
                                       emd_iters=int(cfg.emd_iters),
-                                      with_emd=with_emd)
+                                      with_emd=with_emd,
+                                      mesh=get_mesh(cfg))
                 emd_txt = f", EMD: {m['emd']*100:.3f}" if "emd" in m else ""
                 print(f"Flag: {flag}, CD: {m['cd']*100:.3f}{emd_txt}")
                 results[flag] = m

@@ -31,11 +31,23 @@ from genpc_tpu.ops.fps import farthest_point_sample
 
 def evaluate_pair(pred: np.ndarray, gt: np.ndarray, num_points: int = 16384,
                   emd_eps: float = 0.005, emd_iters: int = 50,
-                  with_emd: bool = True) -> Dict[str, float]:
-    """FPS both to num_points, return {'cd': ..., 'emd': ...} (raw scale)."""
+                  with_emd: bool = True, mesh=None) -> Dict[str, float]:
+    """FPS both to num_points, return {'cd': ..., 'emd': ...} (raw scale).
+
+    With a device mesh that has an 'sp' axis, the large-N chamfer shards
+    its point dimension across chips (parallel/mesh.sharded_chamfer_l1 —
+    each chip scans the full opposite cloud against its row slice; no
+    16384x16384 tensor on any one chip).  EMD's auction needs the dense
+    bid matrix and stays single-device.
+    """
     p, _ = farthest_point_sample(np.asarray(pred, np.float32), num_points)
     g, _ = farthest_point_sample(np.asarray(gt, np.float32), num_points)
-    cd = float(CompletionLoss("cd_l1").get_loss(p, g))
+    if mesh is not None and "sp" in mesh.axis_names:
+        from genpc_tpu.parallel.mesh import sharded_chamfer_l1
+        cd = float(sharded_chamfer_l1(jnp.asarray(p), jnp.asarray(g),
+                                      mesh))
+    else:
+        cd = float(CompletionLoss("cd_l1").get_loss(p, g))
     out = {"cd": cd}
     if with_emd:
         emd = float(CompletionLoss("emd", emd_eps=emd_eps,

@@ -163,6 +163,19 @@ def _gelu_tanh(x):
     return nn.gelu(x, approximate=True)
 
 
+def _tp_dense(features: int, name: str, shard: str = "out") -> nn.Dense:
+    """Wide-kernel Dense with logical tp annotation: the 12B/20B presets
+    only fit v5e chips tensor-parallel (bench_neural.memory_notes), so
+    every attention/MLP kernel carries ("embed","tp") / ("tp","embed")
+    axes that map onto a mesh via nn.logical_axis_rules
+    (parallel/mesh.py tp_sharded_dit_forward)."""
+    axes = ("embed", "tp") if shard == "out" else ("tp", "embed")
+    return nn.Dense(
+        features, dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), axes))
+
+
 class DoubleBlock(nn.Module):
     """Two-stream MMDiT block (diffusers FluxTransformerBlock /
     QwenImageTransformerBlock): joint attention over [txt, img], AdaLN-zero
@@ -191,7 +204,7 @@ class DoubleBlock(nn.Module):
 
         img_n = ln(img) * (1 + i_scale) + i_shift
         txt_n = ln(txt) * (1 + t_scale) + t_shift
-        dense = lambda n: nn.Dense(d, dtype=jnp.bfloat16, name=n)
+        dense = lambda n: _tp_dense(d, n)
         qi = dense("attn_img_q")(img_n)
         ki = dense("attn_img_k")(img_n)
         vi = dense("attn_img_v")(img_n)
@@ -216,17 +229,17 @@ class DoubleBlock(nn.Module):
         v = jnp.concatenate([vt, vi], axis=1)
         att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
         att_t, att_i = att[:, :lt], att[:, lt:]
-        img = img + i_gate * dense("attn_img_out")(att_i)
-        txt = txt + t_gate * dense("attn_txt_out")(att_t)
+        img = img + i_gate * _tp_dense(d, "attn_img_out", "in")(att_i)
+        txt = txt + t_gate * _tp_dense(d, "attn_txt_out", "in")(att_t)
 
         img_n = ln(img) * (1 + i_scale2) + i_shift2
-        h = nn.Dense(4 * d, dtype=jnp.bfloat16, name="img_mlp_in")(img_n)
-        img = img + i_gate2 * nn.Dense(d, dtype=jnp.bfloat16,
-                                       name="img_mlp_out")(_gelu_tanh(h))
+        h = _tp_dense(4 * d, "img_mlp_in")(img_n)
+        img = img + i_gate2 * _tp_dense(d, "img_mlp_out",
+                                        "in")(_gelu_tanh(h))
         txt_n = ln(txt) * (1 + t_scale2) + t_shift2
-        h = nn.Dense(4 * d, dtype=jnp.bfloat16, name="txt_mlp_in")(txt_n)
-        txt = txt + t_gate2 * nn.Dense(d, dtype=jnp.bfloat16,
-                                       name="txt_mlp_out")(_gelu_tanh(h))
+        h = _tp_dense(4 * d, "txt_mlp_in")(txt_n)
+        txt = txt + t_gate2 * _tp_dense(d, "txt_mlp_out",
+                                        "in")(_gelu_tanh(h))
         return img, txt
 
 
@@ -244,9 +257,9 @@ class SingleBlock(nn.Module):
         shift, scale, gate = jnp.split(mod[:, None, :], 3, axis=-1)
         xn = nn.LayerNorm(use_bias=False, use_scale=False,
                           dtype=jnp.float32)(x) * (1 + scale) + shift
-        q = nn.Dense(d, dtype=jnp.bfloat16, name="to_q")(xn)
-        k = nn.Dense(d, dtype=jnp.bfloat16, name="to_k")(xn)
-        v = nn.Dense(d, dtype=jnp.bfloat16, name="to_v")(xn)
+        q = _tp_dense(d, "to_q")(xn)
+        k = _tp_dense(d, "to_k")(xn)
+        v = _tp_dense(d, "to_v")(xn)
         dh = cfg.head_dim
         b, t, _ = q.shape
 
@@ -257,9 +270,8 @@ class SingleBlock(nn.Module):
         q = headnorm(q, "norm_q")
         k = headnorm(k, "norm_k")
         att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
-        mlp = _gelu_tanh(nn.Dense(4 * d, dtype=jnp.bfloat16,
-                                  name="proj_mlp")(xn))
-        out = nn.Dense(d, dtype=jnp.bfloat16, name="proj_out")(
+        mlp = _gelu_tanh(_tp_dense(4 * d, "proj_mlp")(xn))
+        out = _tp_dense(d, "proj_out", "in")(
             jnp.concatenate([att, mlp], axis=-1))
         return x + gate * out
 

@@ -244,11 +244,13 @@ class T5PromptEncoder:
             from genpc_tpu.models.weights import load_t5_and_clip_l
             self.params, self.params_l = load_t5_and_clip_l(
                 weights_dir, self.params, self.params_l)
+        # params as arguments (closures bake ~9.6 GB of T5-XXL weights
+        # into the executable as constants at full scale)
         self._encode = jax.jit(self._encode_impl)
 
-    def _encode_impl(self, ids, mask, ids_l):
-        ctx = self.model.apply(self.params, ids, mask)
-        _, _, pooled = self.model_l.apply(self.params_l, ids_l)
+    def _encode_impl(self, params, params_l, ids, mask, ids_l):
+        ctx = self.model.apply(params, ids, mask)
+        _, _, pooled = self.model_l.apply(params_l, ids_l)
         return ctx, pooled
 
     def encode(self, prompts) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -256,6 +258,7 @@ class T5PromptEncoder:
             prompts = [prompts]
         ids, masks = zip(*[self.tok(p) for p in prompts])
         ids_l = np.stack([self.tok_l(p) for p in prompts])
-        return self._encode(jnp.asarray(np.stack(ids)),
+        return self._encode(self.params, self.params_l,
+                            jnp.asarray(np.stack(ids)),
                             jnp.asarray(np.stack(masks)),
                             jnp.asarray(ids_l))

@@ -370,11 +370,13 @@ class PromptEncoder:
             from genpc_tpu.models.weights import load_clip_towers
             self.params_l, self.params_g = load_clip_towers(
                 weights_dir, self.params_l, self.params_g)
+        # params are ARGUMENTS, not closure constants: closing over them
+        # bakes multi-GB weight tensors into the executable at full scale
         self._encode = jax.jit(self._encode_impl)
 
-    def _encode_impl(self, ids):
-        _, pen_l, _ = self.model_l.apply(self.params_l, ids)
-        _, pen_g, pooled = self.model_g.apply(self.params_g, ids)
+    def _encode_impl(self, params_l, params_g, ids):
+        _, pen_l, _ = self.model_l.apply(params_l, ids)
+        _, pen_g, pooled = self.model_g.apply(params_g, ids)
         context = jnp.concatenate([pen_l, pen_g], axis=-1)
         return context, pooled
 
@@ -382,4 +384,4 @@ class PromptEncoder:
         if isinstance(prompts, str):
             prompts = [prompts]
         ids = jnp.asarray(np.stack([self.tok(p) for p in prompts]))
-        return self._encode(ids)
+        return self._encode(self.params_l, self.params_g, ids)

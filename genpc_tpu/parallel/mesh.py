@@ -100,6 +100,54 @@ def sharded_chamfer_l1(x: jnp.ndarray, y: jnp.ndarray, mesh: Mesh,
     return (s1 / n + s2 / m) / 2.0
 
 
+def tp_sharded_dit_forward(mesh: Mesh, tp_axis: str = "tp"):
+    """Run one MMDiT forward with its wide kernels tensor-parallel.
+
+    This is the sharding FLUX.1-Depth-dev (12B) and Qwen-Image (20B)
+    need to fit v5e chips at all (16 GB HBM vs 24/40 GB bf16 weights —
+    see bench_neural.memory_notes): models/layers.py:tp_dense annotates
+    every attention/MLP kernel with logical axes ("embed","tp"); here
+    the logical "tp" axis maps onto the mesh axis, flax materializes the
+    PartitionSpecs, and XLA GSPMD inserts the ICI collectives.  Returns
+    (output, n_sharded_params) for validation.
+    """
+    import flax.linen as nn
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+
+    cfg = DiTConfig.preset("tiny")
+    model = MMDiT(cfg)
+    lat = jnp.zeros((1, 8, 8, cfg.in_channels))
+    cond = jnp.zeros((1, 8, 8, cfg.cond_channels))
+    txt = jnp.zeros((1, 16, cfg.text_dim))
+    pooled = jnp.zeros((1, cfg.pooled_dim))
+    t = jnp.full((1,), 0.5)
+    g = jnp.ones((1,))
+
+    rules = (("embed", None), ("tp", tp_axis))
+    abstract = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), lat, t, txt, pooled=pooled,
+        cond_latents=cond, guidance=g))
+    specs = nn.get_partition_spec(abstract)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, nn.logical_to_mesh_axes(s, rules)),
+        specs, is_leaf=lambda x: isinstance(x, P))
+    with mesh:
+        params = jax.jit(
+            lambda: nn.meta.unbox(model.init(
+                jax.random.PRNGKey(0), lat, t, txt, pooled=pooled,
+                cond_latents=cond, guidance=g)),
+            out_shardings=nn.meta.unbox(shardings))()
+        out = jax.jit(lambda p: model.apply(
+            p, lat, t, txt, pooled=pooled, cond_latents=cond,
+            guidance=g))(params)
+        jax.block_until_ready(out)
+    n_sharded = sum(
+        1 for leaf in jax.tree.leaves(params)
+        if hasattr(leaf, "sharding")
+        and f"'{tp_axis}'" in str(leaf.sharding.spec))
+    return out, n_sharded
+
+
 def batched_pose_step(mesh: Mesh, batch_axis: str = "dp"):
     """Build a jitted, dp-sharded batched pose-optimization step.
 

@@ -258,3 +258,32 @@ def test_flux_generate_uses_t5():
                        "chair", size=32, num_inference_steps=2)
     assert out.shape == (32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_qwen_vl_encoder_template_protocol():
+    """encode() must return only post-template tokens (the diffusers
+    split_hidden_states drop), include the image tokens in the sequence,
+    and react to the image content."""
+    from genpc_tpu.models.qwen_vl import (EDIT_TEMPLATE_PREFIX,
+                                          QwenVLEncoder)
+    enc = QwenVLEncoder("tiny")
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+
+    out = enc.encode("a chair", img)
+    # the template prefix is dropped; what remains is the image slot
+    # header, the merged image tokens, and the prompt + chat suffix
+    n_head = len(enc._ids("Picture 1: <|vision_start|>"))
+    n_img = (enc.vision_px // enc.cfg.patch) ** 2 // enc.cfg.merge ** 2
+    n_tail = len(enc._ids("<|vision_end|>a chair")) + len(
+        enc._ids("<|im_end|>\n<|im_start|>assistant\n"))
+    assert out.shape[1] == n_head + n_img + n_tail
+    assert len(enc._ids(EDIT_TEMPLATE_PREFIX)) > 10  # prefix was dropped
+    assert out.shape[2] == enc.cfg.hidden
+
+    out2 = enc.encode("a chair", 1.0 - img)
+    assert float(np.abs(np.asarray(out) - np.asarray(out2)).max()) > 1e-4
+
+    txt_only = enc.encode("a chair")
+    assert txt_only.shape[2] == enc.cfg.hidden
+    assert txt_only.shape[1] < out.shape[1]

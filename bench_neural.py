@@ -49,13 +49,23 @@ def _bf16_like(shapes_tree):
         mk, shapes_tree))()
 
 
+def _log(msg):
+    print(f"[bench_neural] {msg}", file=sys.stderr, flush=True)
+
+
 def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     import jax
     from genpc_tpu.config import load_config
     from genpc_tpu.models.controlnet_depth import ControlNetDepth
 
+    import jax.numpy as jnp
+    _log("sdxl: constructing backend (full CLIP towers init)")
     cfg = load_config(model_size="full", denoise_chunk=chunk, save=False)
     be = ControlNetDepth(cfg)
+    # bf16 towers: 3.3 GB fp32 -> 1.65 GB (everything must share 16 GB)
+    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+    be.prompt_encoder.params_l = cast(be.prompt_encoder.params_l)
+    be.prompt_encoder.params_g = cast(be.prompt_encoder.params_g)
     hw = size // be.factor
     t0 = time.time()
     shapes = jax.eval_shape(lambda: be._init_params(hw))
@@ -64,6 +74,8 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     init_s = time.time() - t0
     n_params = sum(int(np.prod(l.shape)) for l in
                    jax.tree_util.tree_leaves(shapes))
+    _log(f"sdxl: {n_params/1e9:.2f}B params materialized bf16 in "
+         f"{init_s:.0f}s; first generate (compiles)...")
     depth = np.random.default_rng(0).uniform(size=(size, size)
                                              ).astype(np.float32)
 
@@ -71,6 +83,7 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     img = be.generate(depth, "01184", size=size,
                       num_inference_steps=steps)
     compile_and_first_s = time.time() - t0
+    _log(f"sdxl: first call {compile_and_first_s:.0f}s; timing warm...")
     t0 = time.time()
     img = be.generate(depth, "01184", size=size,
                       num_inference_steps=steps)
@@ -114,6 +127,7 @@ def bench_instantmesh(steps: int = 75) -> dict:
     from genpc_tpu.config import load_config
     from genpc_tpu.models.lrm import InstantMeshBackend
 
+    _log("instantmesh: constructing backend")
     cfg = load_config(model_size="full", save=False)
     be = InstantMeshBackend(cfg)
     t0 = time.time()
@@ -129,9 +143,11 @@ def bench_instantmesh(steps: int = 75) -> dict:
         size=(be.lrm_cfg.view_size, be.lrm_cfg.view_size, 4)
     ).astype(np.float32)
 
+    _log("instantmesh: first call (compiles)...")
     t0 = time.time()
     mesh = be("01184", img)
     first_s = time.time() - t0
+    _log(f"instantmesh: first call {first_s:.0f}s; timing warm...")
     t0 = time.time()
     mesh = be("01184", img)
     e2e_s = time.time() - t0

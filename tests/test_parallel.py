@@ -155,6 +155,14 @@ def test_run_batched_lidar_uhd():
     assert set(res) == set(flags)
     for m in res.values():
         assert np.isfinite(m["uhd"]) and m["uhd"] >= 0
+    # held-out-wedge protocol (VERDICT r2 #9): withhold a 60deg azimuth
+    # wedge, complete from the rest, score UHD(held-out -> fused)
+    res_h = run_batched_lidar(cfg, flags, data_dir, "CAR",
+                              holdout_wedge_deg=60.0)
+    held = [m for m in res_h.values() if "holdout_uhd" in m]
+    assert held, "no scan produced a held-out wedge"
+    for m in held:
+        assert np.isfinite(m["holdout_uhd"]) and m["holdout_uhd"] > 0
 
 
 def test_evaluate_pair_sp_sharded_matches_single_device(rng):

@@ -38,10 +38,11 @@ EXCLUDED_FLAGS = {"06830": "GT file is a different object (dataset error; "
 TARGET_OBJ_PER_MIN = 5.0  # BASELINE.md: >=5 objects/min/chip on v5e-8
 
 
-def run_pass(cfg, flags, data_dir):
+def run_pass(cfg, flags, data_dir, timings=None):
     from genpc_tpu.parallel.batched_runner import run_batched
     start = time.time()
-    results = run_batched(cfg, flags, data_dir, verbose=False)
+    results = run_batched(cfg, flags, data_dir, verbose=False,
+                          timings=timings)
     return results, time.time() - start
 
 
@@ -73,7 +74,9 @@ def main():
     print(f"warm-up (registration-on): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    results, wall = run_pass(cfg_reg, flags, data_dir)
+    reg_timings = {}
+    results, wall = run_pass(cfg_reg, flags, data_dir,
+                             timings=reg_timings)
     for f, m in sorted(results.items()):
         tag = ("  (excluded: " + EXCLUDED_FLAGS[f] + ")"
                if f in EXCLUDED_FLAGS else "")
@@ -85,7 +88,9 @@ def main():
     run_pass(cfg_fast, flags, data_dir)
     print(f"warm-up (aligned fast path): {time.time()-t0:.1f}s",
           file=sys.stderr)
-    results_fast, wall_fast = run_pass(cfg_fast, flags, data_dir)
+    fast_timings = {}
+    results_fast, wall_fast = run_pass(cfg_fast, flags, data_dir,
+                                       timings=fast_timings)
     cd_fast, emd_fast = quality(results_fast)
     opm_fast = len(flags) / wall_fast * 60.0
 
@@ -206,7 +211,9 @@ def main():
             "aligned_fast_path": {
                 "objects_per_min": round(opm_fast, 3),
                 "avg_cd_x100": cd_fast, "avg_emd_x100": emd_fast,
-                "wall_s": round(wall_fast, 1)},
+                "wall_s": round(wall_fast, 1),
+                "stage_walls_s": fast_timings},
+            "stage_walls_s": reg_timings,
             "emd_16384_ms_per_call": round(emd_ms, 1),
             "waymo_lidar": waymo_extra,
             "neural_full_scale": neural_extra,

@@ -90,9 +90,9 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     e2e_s = time.time() - t0
     assert img.shape == (size, size, 3)
 
-    # steady-state per-step: time one warm chunk directly
+    # steady-state per-step: median over warm chunk executions (a single
+    # measurement once caught a multi-second tunnel hiccup)
     ctx, pooled = be.prompt_encoder.encode("a chair")
-    import jax.numpy as jnp
     if ctx.shape[-1] != be.unet_cfg.context_dim:
         reps = -(-be.unet_cfg.context_dim // ctx.shape[-1])
         ctx = jnp.tile(ctx, (1, 1, reps))[..., :be.unet_cfg.context_dim]
@@ -103,12 +103,15 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
                                 added, added, keys, steps, 0, chunk)
     jax.block_until_ready(latents)
-    t0 = time.time()
-    latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
-                                added, added, keys, steps, chunk,
-                                2 * chunk)
-    jax.block_until_ready(latents)
-    step_ms = (time.time() - t0) * 1000.0 / chunk
+    samples = []
+    for k in range(1, 4):
+        lo, hi = k * chunk, min((k + 1) * chunk, steps)
+        t0 = time.time()
+        latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
+                                    added, added, keys, steps, lo, hi)
+        jax.block_until_ready(latents)
+        samples.append((time.time() - t0) * 1000.0 / (hi - lo))
+    step_ms = sorted(samples)[len(samples) // 2]
 
     return {
         "preset": "sdxl_controlnet_full", "params": n_params,
@@ -199,19 +202,34 @@ def memory_notes() -> dict:
     }
 
 
+def _run_preset(name: str) -> dict:
+    try:
+        return bench_sdxl() if name == "sdxl" else bench_instantmesh()
+    except Exception as e:  # noqa: BLE001
+        return {"note": f"failed: {type(e).__name__}: {e}"}
+
+
 def main():
+    """Each preset runs in its OWN subprocess: a ~4B-param preset's
+    buffers must be fully released before the next one initializes
+    (observed RESOURCE_EXHAUSTED when both shared a process), and only
+    one TPU client may live at a time — so they run sequentially."""
+    import subprocess
     out = {}
-    try:
-        out["sdxl"] = bench_sdxl()
-    except Exception as e:  # noqa: BLE001
-        out["sdxl"] = {"note": f"failed: {type(e).__name__}: {e}"}
-    try:
-        out["instantmesh"] = bench_instantmesh()
-    except Exception as e:  # noqa: BLE001
-        out["instantmesh"] = {"note": f"failed: {type(e).__name__}: {e}"}
+    for name in ("sdxl", "instantmesh"):
+        proc = subprocess.run(
+            [sys.executable, __file__, name], capture_output=True,
+            text=True)
+        print(proc.stderr[-2000:], file=sys.stderr, flush=True)
+        lines = proc.stdout.strip().splitlines()
+        out[name] = (json.loads(lines[-1]) if lines else
+                     {"note": f"failed: rc={proc.returncode}"})
     out["memory"] = memory_notes()
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        print(json.dumps(_run_preset(sys.argv[1])))
+    else:
+        main()

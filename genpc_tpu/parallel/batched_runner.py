@@ -396,15 +396,31 @@ def _generate_images(cfg, dp, arts) -> None:
 
 def run_batched(cfg, flags: List[str], data_dir: str,
                 gt_dir: Optional[str] = None, with_emd: bool = True,
-                batch: Optional[int] = None, verbose: bool = True
+                batch: Optional[int] = None, verbose: bool = True,
+                timings: Optional[Dict[str, float]] = None
                 ) -> Dict[str, Dict[str, float]]:
     """Full pipeline with batched stage 3 + batched metrics.
 
     Honors cfg.mesh_shape: with e.g. {'dp': 8} the object batch is padded
     to a dp multiple and every batched device program shards its object
     axis across the mesh (parallel/mesh.py).
+
+    timings (optional dict) receives per-stage wall seconds
+    (load/stage1/generate/stage2/stage3/metric) — the bench's
+    throughput-regression breakdown.
     """
     from genpc_tpu.parallel.mesh import dp_sharded, dp_size, get_mesh
+    t_last = [time.time()]
+
+    def mark(name):
+        if timings is not None:
+            now = time.time()
+            timings[name] = round(now - t_last[0], 2) + timings.get(name,
+                                                                    0.0)
+            t_last[0] = now
+        else:
+            t_last[0] = time.time()
+
     gt_dir = gt_dir or os.path.join(data_dir, "GT")
     mesh = get_mesh(cfg)
     dp = DepthPrompting(cfg)
@@ -426,17 +442,22 @@ def run_batched(cfg, flags: List[str], data_dir: str,
         arts.append(ObjectArtifacts(flag=f"_pad{i}", xyz=src.xyz,
                                     rgb=src.rgb))
     real_arts = arts[:n_real]
+    mark("load")
     # stage 1: one jitted program over the whole batch
     batched_stage1(cfg, arts, dp.viewpoints, dp=dp, mesh=mesh)
+    mark("stage1")
     _generate_images(cfg, dp, real_arts)
     for art in arts[n_real:]:
         art.image = real_arts[-1].image
+    mark("generate")
     sa.scale_adapter_batch(arts)
+    mark("stage2")
 
     batch = batch or len(arts)
     for i in range(0, len(arts), batch):
         batched_reg(cfg, arts[i:i + batch], mesh=mesh)
     arts = real_arts
+    mark("stage3")
 
     # batched metric: FPS from the FULL clouds (reference: main.py:21-22).
     # Static shapes come from padding each cloud to the batch max by
@@ -478,6 +499,7 @@ def run_batched(cfg, flags: List[str], data_dir: str,
             results[flag] = {"cd": float(cd[i])}
             if with_emd:
                 results[flag]["emd"] = float(emd[i])
+    mark("metric")
     return results
 
 

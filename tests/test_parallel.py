@@ -176,3 +176,33 @@ def test_evaluate_pair_sp_sharded_matches_single_device(rng):
     out = evaluate_pair(pred, gt, num_points=1024, with_emd=False,
                         mesh=mesh)
     assert abs(out["cd"] - ref["cd"]) < 1e-5
+
+
+def test_run_batched_timings_and_pipeline():
+    """run_batched end-to-end on 2 redwood scans (tiny config): results
+    per flag + per-stage wall timings (the bench's fast-path-regression
+    breakdown, VERDICT r2 #10)."""
+    import os
+    from genpc_tpu.config import load_config
+    from genpc_tpu.parallel.batched_runner import run_batched
+    data_dir = "/root/reference/data"
+    if not os.path.exists(os.path.join(data_dir, "01184.ply")):
+        pytest.skip("no redwood data")
+    cfg = load_config(
+        save=False, output_path="/tmp/test_ws_rb",
+        control_model="synthetic", rembg_model="synthetic",
+        generative_model="synthetic", trust_aligned_completion=True,
+        view_num=16, downsample_num=256, res=64, cam_res=64,
+        generate_res=64, input_points=1024, inpaint_iters=10,
+        glb_sample_points=512, pose_complete_points=64, icp_points=64,
+        pose_iters=3, pose_render_size=32, fused_points=256,
+        fine_scale_steps=2, metric_points=256)
+    timings = {}
+    res = run_batched(cfg, ["01184", "05117"], data_dir, with_emd=False,
+                      timings=timings)
+    assert set(res) == {"01184", "05117"}
+    for m in res.values():
+        assert np.isfinite(m["cd"])
+    for stage in ("load", "stage1", "generate", "stage2", "stage3",
+                  "metric"):
+        assert stage in timings and timings[stage] >= 0

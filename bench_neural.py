@@ -84,41 +84,27 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
                       num_inference_steps=steps)
     compile_and_first_s = time.time() - t0
     _log(f"sdxl: first call {compile_and_first_s:.0f}s; timing warm...")
-    t0 = time.time()
-    img = be.generate(depth, "01184", size=size,
-                      num_inference_steps=steps)
-    e2e_s = time.time() - t0
-    assert img.shape == (size, size, 3)
-
-    # steady-state per-step: median over warm chunk executions (a single
-    # measurement once caught a multi-second tunnel hiccup)
-    ctx, pooled = be.prompt_encoder.encode("a chair")
-    if ctx.shape[-1] != be.unet_cfg.context_dim:
-        reps = -(-be.unet_cfg.context_dim // ctx.shape[-1])
-        ctx = jnp.tile(ctx, (1, 1, reps))[..., :be.unet_cfg.context_dim]
-    added = be._added_cond(pooled, size)
-    cond = jnp.asarray(depth[..., None].repeat(3, -1) * 2 - 1)[None]
-    latents, keys = be._denoise_init(be._params, cond,
-                                     jax.random.PRNGKey(0), steps)
-    latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
-                                added, added, keys, steps, 0, chunk)
-    jax.block_until_ready(latents)
-    samples = []
-    for k in range(1, 4):
-        lo, hi = k * chunk, min((k + 1) * chunk, steps)
+    # best-of-2 warm e2e: per-step is reported AMORTIZED over the full
+    # generate (incl. prompt encode + VAE decode), exactly like the
+    # instantmesh section.  A separate hand-built chunk probe was removed:
+    # its operand shapes differed from generate's cached executables, so
+    # every probe call RECOMPILED and reported compile time as step time
+    # (22 s/step vs the 214 ms/step the warm e2e actually runs at).
+    e2e_samples = []
+    for _ in range(2):
         t0 = time.time()
-        latents = be._denoise_chunk(be._params, latents, cond, ctx, ctx,
-                                    added, added, keys, steps, lo, hi)
-        jax.block_until_ready(latents)
-        samples.append((time.time() - t0) * 1000.0 / (hi - lo))
-    step_ms = sorted(samples)[len(samples) // 2]
+        img = be.generate(depth, "01184", size=size,
+                          num_inference_steps=steps)
+        e2e_samples.append(time.time() - t0)
+    e2e_s = min(e2e_samples)
+    assert img.shape == (size, size, 3)
 
     return {
         "preset": "sdxl_controlnet_full", "params": n_params,
         "resolution": size, "steps": steps,
         "param_init_s": round(init_s, 1),
         "first_call_s_incl_compile": round(compile_and_first_s, 1),
-        "per_denoise_step_ms": round(step_ms, 1),
+        "per_denoise_step_ms_amortized": round(e2e_s * 1000.0 / steps, 1),
         "e2e_s_per_object_generation": round(e2e_s, 2),
         "config3_obj_per_min_generation_stage": round(60.0 / e2e_s, 2),
     }

@@ -22,9 +22,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def fps_indices(points: jnp.ndarray, k: int, start: int = 0) -> jnp.ndarray:
-    """Indices of k farthest points. points: [N,3] (any float dtype)."""
+    """Indices of k farthest points. points: [N,3] (any float dtype).
+
+    On TPU (runtime.use_pallas) this routes through the VMEM-resident
+    Pallas kernel (ops/fps_kernel.py) — same selection sequence, ~20x
+    faster at metric scale; the XLA loop below is the fallback/CPU path.
+    """
+    from genpc_tpu.runtime import use_pallas
+    from genpc_tpu.ops.fps_kernel import fps_pallas_batched, fps_supported
+    n = points.shape[0]
+    if use_pallas() and fps_supported(n, k):
+        return fps_pallas_batched(points[None], k, start=start)[0]
+    return _fps_indices_xla(points, k, start)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fps_indices_xla(points: jnp.ndarray, k: int,
+                     start: int = 0) -> jnp.ndarray:
     pts = jnp.asarray(points, jnp.float32)
     n = pts.shape[0]
 

@@ -28,7 +28,7 @@ from genpc_tpu.io.ply import load_xyz
 from genpc_tpu.metrics.losses import chamfer_partial_l1
 from genpc_tpu.ops.chamfer import chamfer_nn, nearest_neighbor
 from genpc_tpu.ops.emd import emd_auction
-from genpc_tpu.ops.fps import fps_indices
+from genpc_tpu.ops.fps import _fps_indices_xla, fps_indices
 from genpc_tpu.ops.outliers import statistical_outlier_mask
 from genpc_tpu.ops.voxel import voxel_down_sample
 from genpc_tpu.pipeline.artifacts import ObjectArtifacts, Workspace
@@ -187,7 +187,11 @@ def batched_dedup_mask(src, tgt, threshold: float = 1e-4):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def batched_fps(pts, k: int):
-    return jax.vmap(lambda p: fps_indices(p, k))(pts)
+    from genpc_tpu.ops.fps_kernel import fps_pallas_batched, fps_supported
+    from genpc_tpu.runtime import use_pallas
+    if use_pallas() and fps_supported(pts.shape[1], k):
+        return fps_pallas_batched(pts, k)
+    return jax.vmap(lambda p: _fps_indices_xla(p, k))(pts)
 
 
 @functools.partial(jax.jit, static_argnames=("num_points", "emd_eps",
@@ -543,7 +547,11 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
             center = (edges[hist.argmax()] + 5.0 + 180.0)
             d = (az - center + 180.0) % 360.0 - 180.0
             held = np.abs(d) < holdout_wedge_deg / 2.0
-            if held.any() and (~held).sum() > 1024:
+            # keep-enough guard scales with scan size: PED scans are
+            # ~350-500 points total (an absolute 1024 bound silently
+            # disabled the protocol for the whole category)
+            keep_min = min(1024, len(xyz) // 2)
+            if held.any() and (~held).sum() >= keep_min:
                 heldout[flag] = xyz[held].astype(np.float32)
                 xyz, rgb = xyz[~held], rgb[~held]
         rng = np.random.default_rng(0)

@@ -143,3 +143,25 @@ def test_slots_renderer_pallas_on_tpu(rng):
 
     b2 = render_points(pts, cols, 0.02, cam, footprint=2, method="slots")
     np.testing.assert_array_equal(np.asarray(b), np.asarray(b2))
+
+
+def test_fps_pallas_on_tpu(rng):
+    """VMEM-resident FPS kernel vs the XLA loop: exact sequence at small
+    scale; identical SELECTED SET at scale (float accumulation order can
+    legally swap equidistant picks without changing the sample)."""
+    from genpc_tpu.ops.fps import _fps_indices_xla
+    from genpc_tpu.ops.fps_kernel import fps_pallas_batched
+
+    pts = rng.uniform(-1, 1, (2, 1000, 3)).astype(np.float32)
+    ref = np.stack([np.asarray(_fps_indices_xla(jnp.asarray(p), 256))
+                    for p in pts])
+    got = np.asarray(fps_pallas_batched(
+        jax.device_put(jnp.asarray(pts), tpu), 256))
+    np.testing.assert_array_equal(ref, got)
+
+    big = rng.uniform(-1, 1, (1, 40000, 3)).astype(np.float32)
+    ref = set(np.asarray(_fps_indices_xla(jnp.asarray(big[0]),
+                                          4096)).tolist())
+    got = np.asarray(fps_pallas_batched(
+        jax.device_put(jnp.asarray(big), tpu), 4096))[0]
+    assert len(set(got.tolist()) & ref) / 4096 > 0.999

@@ -35,7 +35,7 @@ from genpc_tpu.pipeline.artifacts import ObjectArtifacts, Workspace
 from genpc_tpu.pipeline.depth_prompting import DepthPrompting
 from genpc_tpu.pipeline.registration import resample_fixed
 from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
-from genpc_tpu.registration.icp import _coarse_one, _fine_one
+from genpc_tpu.registration.icp import _coarse_one, _fine_score
 from genpc_tpu.registration.pose_optim import (
     build_transform, rotation_6d_to_matrix)
 
@@ -145,30 +145,46 @@ def batched_coarse_sweep(src, tgt, scales, cd_inv_weight):
 
 
 def batched_fine_search(src, tgt, cd_inv_weight: float = 0.5,
-                        scale_steps: int = 10, chunk: int = 100
+                        scale_steps: int = 10, chunk: int = 250
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-axis scale grid over a batch: returns (S [B,4,4], T [B,4,4])."""
+    """Per-axis scale grid over a batch: returns (S [B,4,4], T [B,4,4]).
+
+    Score/register split (see icp._fine_score): the reference scores
+    candidates on the unregistered scaled source, so all 10^3 scores run
+    chamfer-only and the 15-iter ICP runs once per object at the winner
+    — identical selection + transform, ~1000x less ICP work."""
     axes = [np.linspace(0.8, 1.2, scale_steps)] * 3
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
     B = src.shape[0]
     f = jax.jit(jax.vmap(jax.vmap(
-        lambda sc, s, t: _fine_one(sc, s, t, jnp.float32(cd_inv_weight)),
+        lambda sc, s, t: _fine_score(sc, s, t, jnp.float32(cd_inv_weight)),
         in_axes=(0, None, None)), in_axes=(None, 0, 0)))
     best_cd = np.full(B, np.inf)
-    best_T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
     best_scales = np.ones((B, 3))
     for i in range(0, len(grid), chunk):
         g = jnp.asarray(grid[i:i + chunk], jnp.float32)
-        cds, Ts = f(g, src, tgt)          # [B,chunk], [B,chunk,4,4]
-        cds = np.asarray(cds)
+        cds = np.asarray(f(g, src, tgt))  # [B,chunk]
         j = cds.argmin(axis=1)
         better = cds[np.arange(B), j] < best_cd
         best_cd = np.where(better, cds[np.arange(B), j], best_cd)
-        best_T[better] = np.asarray(Ts)[np.arange(B), j][better]
         best_scales[better] = grid[i:i + chunk][j][better]
+    best_T = np.asarray(_fine_icp_batch(
+        jnp.asarray(best_scales, jnp.float32), src, tgt))
     S = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
     S[:, 0, 0], S[:, 1, 1], S[:, 2, 2] = best_scales.T
     return S, best_T
+
+
+@jax.jit
+def _fine_icp_batch(scales3, src, tgt):
+    """15-iter ICP per object at its winning per-axis scales -> T [B,4,4]."""
+    from genpc_tpu.registration.icp import icp
+
+    def one(sc, s, t):
+        T, _, _ = icp(s * sc[None, :], t, 0.075, iters=15)
+        return T
+
+    return jax.vmap(one)(scales3, src, tgt)
 
 
 @jax.jit

@@ -250,6 +250,21 @@ def _fine_one(scales3, src, tgt, cd_inv_weight, iters=15):
     return cd, T
 
 
+@jax.jit
+def _fine_score(scales3, src, tgt, cd_inv_weight):
+    """Score of one per-axis-scale candidate WITHOUT the ICP.
+
+    The reference scores each grid candidate on the scaled-but-
+    UNREGISTERED source (reg_xyz.py:75-83) — the score never depends on
+    the ICP result.  Splitting score from registration lets the grid
+    search score all 10^3 candidates chamfer-only and run the 15-iter
+    ICP once per object at the winner (identical selection and result,
+    ~1000x less ICP work — it was 19 s of the batched stage 3)."""
+    scaled = src * scales3[None, :]
+    return (chamfer_partial_l1(scaled, tgt)
+            + chamfer_partial_l1(tgt, scaled) * cd_inv_weight)
+
+
 def iterative_scale_search(source, target,
                            scale_ranges=((0.8, 1.2), (0.8, 1.2), (0.8, 1.2)),
                            scale_steps: int = 10,
@@ -264,18 +279,20 @@ def iterative_scale_search(source, target,
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
     src = jnp.asarray(source, jnp.float32)
     tgt = jnp.asarray(target, jnp.float32)
-    f = jax.jit(jax.vmap(lambda s: _fine_one(s, src, tgt,
-                                             jnp.float32(cd_inv_weight))))
-    best_cd, best_T, best_scales = np.inf, None, None
+    # score/register split (see _fine_score): chamfer-only scores for the
+    # whole grid, then ONE 15-iter ICP at the winning scales
+    f = jax.jit(jax.vmap(lambda s: _fine_score(s, src, tgt,
+                                               jnp.float32(cd_inv_weight))))
+    best_cd, best_scales = np.inf, None
     for i in range(0, len(grid), batch):
         chunk = jnp.asarray(grid[i:i + batch], jnp.float32)
-        cds, Ts = f(chunk)
-        cds = np.asarray(cds)
+        cds = np.asarray(f(chunk))
         j = int(cds.argmin())
         if cds[j] < best_cd:
             best_cd = float(cds[j])
-            best_T = np.asarray(Ts[j])
             best_scales = grid[i + j]
+    T, _, _ = icp(src * jnp.asarray(best_scales, jnp.float32)[None, :],
+                  tgt, 0.075, iters=15)
     S = np.eye(4)
     S[0, 0], S[1, 1], S[2, 2] = best_scales
-    return S, best_cd, best_T
+    return S, best_cd, np.asarray(T)

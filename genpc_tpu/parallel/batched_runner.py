@@ -87,12 +87,14 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
     kills the TPU worker — so the loop runs as POSE_CHUNK-step jitted
     segments (identical math, one compile, short executions).
 
-    Coarse-to-fine (VERDICT r2 #5): the render+grad is ~75% of the step
-    cost at 224², so the first coarse_frac of the iterations runs at
-    half resolution (basin finding), then the carry's params+Adam state
-    transfer to a full-resolution phase whose best-loss tracking picks
-    the final pose — final accuracy is set by the full-res phase (the
-    reference renders 224² throughout, diff_obj_pose.py:108-134).
+    Coarse-to-fine (VERDICT r2 #5): the first coarse_frac of the
+    iterations runs at half resolution AND on a 4x FPS point subsample
+    (the step cost is point-dominated: slot-table build + point-centric
+    backward gathers scale with N, so subsampling points is where the
+    time is), then the carry's params+Adam state transfer to a
+    full-N/full-res phase whose best-loss tracking picks the final pose
+    — final accuracy is set by the full phase (the reference renders
+    2048 points at 224² throughout, diff_obj_pose.py:108-134).
     coarse_frac=0 reproduces the single-phase behavior exactly.
     """
     from genpc_tpu.registration.pose_optim import POSE_CHUNK
@@ -102,19 +104,35 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
     if n_coarse < chunk:      # not worth a second compile
         n_coarse = 0
 
-    def run(carry, n, res):
+    def run(carry, n, res, cmp_, ccol_, prt_, rad_):
         done = 0
         while done < n:
             k = min(chunk, n - done)
-            carry = _bpose_steps(carry, comp, comp_col, part, radius, lr,
+            carry = _bpose_steps(carry, cmp_, ccol_, prt_, rad_, lr,
                                  k, res)
             done += k
         return carry
 
     if n_coarse:
-        lo = _bpose_init(comp, comp_col, part, part_col, radius, lr,
-                         coarse_res)
-        lo = run(lo, n_coarse, coarse_res)
+        # the step cost is POINT-dominated, not pixel-dominated (slot
+        # table build + point-centric backward gathers scale with N;
+        # measured 201 vs 240 ms/step at 112² vs 224²) — so the coarse
+        # basin-finding phase subsamples POINTS 4x as well, with radius
+        # scaled by sqrt(N/Nc) to preserve rendered mask coverage.
+        # FPS subsample (cheap via ops/fps_kernel): spatially uniform
+        # coverage beats a random draw for basin finding, and is
+        # deterministic per object.
+        n_pts = comp.shape[1]
+        nc = min(n_pts, max(512, n_pts // 4))
+        ci = batched_fps(comp, nc)[..., None]
+        pi = batched_fps(part, nc)[..., None]
+        cc = jnp.take_along_axis(comp, ci, axis=1)
+        ccol_c = jnp.take_along_axis(comp_col, ci, axis=1)
+        pc = jnp.take_along_axis(part, pi, axis=1)
+        pcol_c = jnp.take_along_axis(part_col, pi, axis=1)
+        rad_c = radius * jnp.sqrt(jnp.float32(n_pts) / nc)
+        lo = _bpose_init(cc, ccol_c, pc, pcol_c, rad_c, lr, coarse_res)
+        lo = run(lo, n_coarse, coarse_res, cc, ccol_c, pc, rad_c)
         carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
                             render_size)
         # transfer basin + optimizer moments; best restarts at the new
@@ -124,11 +142,13 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
         carry["params"] = lo["params"]
         carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
         carry["opt"] = lo["opt"]
-        carry = run(carry, iters - n_coarse, render_size)
+        carry = run(carry, iters - n_coarse, render_size,
+                    comp, comp_col, part, radius)
     else:
         carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
                             render_size)
-        carry = run(carry, iters, render_size)
+        carry = run(carry, iters, render_size,
+                    comp, comp_col, part, radius)
     return _bpose_pick(carry)
 
 

@@ -184,7 +184,12 @@ def _build_table(px, py, dn, sigma2, cols, in_front, res: int, f: int,
     T = table[:, :slots * npix].reshape(7, slots, res, res)
     Tp = jnp.pad(T, ((0, 0), (0, 0), (f, f), (f, f))).transpose(1, 0, 2, 3)
     keep = jnp.zeros((n,), bool).at[order].set(valid)
-    return Tp, keep    # Tp: [S, CH, H, W]
+    # each point's flat table position in ORIGINAL point order (sentinel
+    # slots*npix for dropped points) — the dense backward gathers
+    # per-point gradients from the gradient table at these positions
+    slot_orig = jnp.full((n,), slots * npix, jnp.int32).at[order].set(
+        slot.astype(jnp.int32))
+    return Tp, keep, slot_orig    # Tp: [S, CH, H, W]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -207,63 +212,37 @@ def _slots_pallas(px, py, dn, sigma2, cols, in_front, res: int, f: int,
 def _slots_pallas_fwd(px, py, dn, sigma2, cols, in_front, res, f, slots,
                       gamma):
     from genpc_tpu.render.splat_kernel import assemble
-    Tp, keep = _build_table(px, py, dn, sigma2, cols, in_front, res, f,
-                            slots)
+    Tp, keep, slot_orig = _build_table(px, py, dn, sigma2, cols, in_front,
+                                       res, f, slots)
     (acc, wacc), dmax = assemble(Tp[None], res, f, slots, gamma)
     out = (acc[0], wacc[0])
-    return out, (px, py, dn, sigma2, cols, keep, dmax[0])
+    return out, (Tp, slot_orig, dmax[0])
 
 
 def _slots_pallas_bwd(res, f, slots, gamma, resids, cots):
-    px, py, dn, sigma2, cols, keep, dmax = resids
+    """Dense backward: one Pallas pass computes the gradient TABLE
+    (transpose of the forward's 25-slab accumulation, splat_kernel.
+    assemble_bwd), then each point gathers its 7 per-entry gradients at
+    its slot position — 7·N gathers instead of the old point-centric
+    chain's ~8·K²·N (90 ms -> ~10 ms for the 52-render pose step)."""
+    from genpc_tpu.render.splat_kernel import assemble_bwd
+    Tp, slot_orig, dmax = resids
     g_acc, g_wacc = cots
-    K = 2 * f + 1
-    ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32)
-    dys = jnp.arange(-f, f + 1, dtype=jnp.int32)
-    oy = jnp.repeat(dys, K)[:, None]
-    ox = jnp.tile(dys, K)[:, None]
-    qyg = iy[None, :] + oy                    # [K²,N]
-    qxg = ix[None, :] + ox
-    inb = (qxg >= 0) & (qxg < res) & (qyg >= 0) & (qyg < res)
-    # clamped-placement reach: out-of-image centers are stored clamped,
-    # so the assembly only covers pixels within ±f of the CLAMPED pixel
-    ixc = jnp.clip(ix, 0, res - 1)
-    iyc = jnp.clip(iy, 0, res - 1)
-    reach = ((jnp.abs(qxg - ixc[None, :]) <= f)
-             & (jnp.abs(qyg - iyc[None, :]) <= f))
-    qidx = jnp.where(inb, qyg * res + qxg, 0)
-    gaf = g_acc.reshape(3, -1)
-    gar, gag, gab = gaf[0][qidx], gaf[1][qidx], gaf[2][qidx]
-    gw_out = g_wacc.reshape(-1)[qidx]
-    dm = dmax.reshape(-1)[qidx]
-    qxf = qxg.astype(jnp.float32)
-    qyf = qyg.astype(jnp.float32)
-    d2 = (px[None, :] - qxf) ** 2 + (py[None, :] - qyf) ** 2
-    s2c = jnp.maximum(2.0 * sigma2, 1e-12)[None, :]
-    w_s = jnp.exp(-d2 / s2c)
-    okm = inb & reach & keep[None, :] & (w_s > 1e-4)
-    expo_raw = (dn[None, :] - dm) / gamma
-    e = jnp.exp(jnp.minimum(expo_raw, 0.0))
-    w = jnp.where(okm, w_s * e, 0.0)
-    gw = jnp.where(okm, gar * cols[:, 0][None, :]
-                   + gag * cols[:, 1][None, :]
-                   + gab * cols[:, 2][None, :] + gw_out, 0.0)
-    dw_s = gw * e
-    dd2 = dw_s * w_s * (-1.0 / s2c)
-    d_px = (dd2 * 2.0 * (px[None, :] - qxf)).sum(0)
-    d_py = (dd2 * 2.0 * (py[None, :] - qyf)).sum(0)
-    # jnp.minimum's VJP splits the cotangent 50/50 at exact ties
-    # (lax._balanced_eq), and the front point of every pixel ties
-    # exactly (its dn IS dmax) — replicate for gradient parity
-    tie_w = jnp.where(expo_raw < 0.0, 1.0,
-                      jnp.where(expo_raw == 0.0, 0.5, 0.0))
-    d_dn = (tie_w * gw * w_s * e / gamma).sum(0)
-    d_s2 = (dw_s * w_s * (d2 / (s2c * s2c)) * 2.0).sum(0)
-    d_cols = jnp.stack([(w * gar).sum(0), (w * gag).sum(0),
-                        (w * gab).sum(0)], axis=-1)
+    dT = assemble_bwd(Tp[None], (g_acc[None], g_wacc[None]), dmax[None],
+                      res, f, slots, gamma)[0]       # [S,7,res,res]
+    # flat slot-major layout matches slot_orig = rank*npix + pix; pad one
+    # trailing zero entry for dropped points (sentinel slots*npix)
+    flat = jnp.concatenate(
+        [dT.transpose(1, 0, 2, 3).reshape(7, -1),
+         jnp.zeros((7, 1), jnp.float32)], axis=1)
+    d_px = flat[0][slot_orig]
+    d_py = flat[1][slot_orig]
+    d_dn = flat[2][slot_orig]
+    d_s2 = flat[3][slot_orig]
+    d_cols = jnp.stack([flat[4][slot_orig], flat[5][slot_orig],
+                        flat[6][slot_orig]], axis=-1)
     import numpy as np
-    d_infront = np.zeros(keep.shape, dtype=jax.dtypes.float0)
+    d_infront = np.zeros(slot_orig.shape, dtype=jax.dtypes.float0)
     return d_px, d_py, d_dn, d_s2, d_cols, d_infront
 
 
@@ -305,8 +284,8 @@ def _render_slots(points, colors, radius, camera, gamma: float,
         img = acc / (wacc + bg_w)[None]
         return jnp.moveaxis(img, 0, -1)
 
-    Tp, _ = _build_table(px, py, dn, sigma2, cols, in_front, res, f,
-                         slots)
+    Tp, _, _ = _build_table(px, py, dn, sigma2, cols, in_front, res, f,
+                            slots)
 
     qx = jnp.arange(res, dtype=jnp.float32)[None, None, :]
     qy = jnp.arange(res, dtype=jnp.float32)[None, :, None]

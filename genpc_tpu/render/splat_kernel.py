@@ -195,3 +195,125 @@ def _assemble_impl(table, res, f, gamma):
     return (o[:, :3], o[:, 3]), o[:, 4]
 
 
+
+# ------------------------------------------------------------ backward
+
+def _bwd_kernel(c_ref, t_ref, o_ref, *, res: int, f: int, gamma: float,
+                strip: int, panel: int):
+    """Grid (B, NS, S); c block [1,1,5,strip+2f,panel+2f] = cotangents
+    (g_r, g_g, g_b, g_wacc) + dmax, overlapped like the forward input
+    tiles; t block [1,1,1,CH,strip,panel] = INTERIOR table entries;
+    o block [1,1,1,7,strip,panel] = per-entry gradients
+    (d_px, d_py, d_dn, d_sigma2, d_r, d_g, d_b).
+
+    Transpose of the forward accumulation: the entry stored at pixel q
+    contributed to output pixels q+(oy,ox), so its gradient reads the
+    cotangent slabs at those offsets — same statically-unrolled 25-slab
+    structure as _fwd_kernel, output written once per grid step (no
+    revisits, no phases).  The weight-chain math replicates
+    point_renderer's gather backward exactly (incl. the 50/50 dmax-tie
+    convention)."""
+    st = pl.program_id(1)
+    nx = res // panel
+    qx, qy = _iota2(strip, panel)
+    qy = qy + ((st // nx) * strip).astype(jnp.float32)
+    qx = qx + ((st % nx) * panel).astype(jnp.float32)
+
+    px = t_ref[0, 0, 0, 0]
+    py = t_ref[0, 0, 0, 1]
+    dn = t_ref[0, 0, 0, 2]
+    s2 = t_ref[0, 0, 0, 3]
+    cr = t_ref[0, 0, 0, 4]
+    cg = t_ref[0, 0, 0, 5]
+    cb = t_ref[0, 0, 0, 6]
+    pres = s2 > 0
+    ixf = jnp.floor(px)
+    iyf = jnp.floor(py)
+    s2c = jnp.maximum(2.0 * s2, 1e-12)
+
+    z = jnp.zeros((strip, panel), jnp.float32)
+    d_px, d_py, d_dn, d_s2 = z, z, z, z
+    d_r, d_g, d_b = z, z, z
+
+    def cot(c, oy, ox):
+        return c_ref[0, 0, c, f + oy:f + oy + strip,
+                     f + ox:f + ox + panel]
+
+    for oy in range(-f, f + 1):
+        for ox in range(-f, f + 1):
+            gr = cot(0, oy, ox)
+            gg = cot(1, oy, ox)
+            gb = cot(2, oy, ox)
+            gwa = cot(3, oy, ox)
+            dmax = cot(4, oy, ox)
+            qx2 = qx + ox
+            qy2 = qy + oy
+            inb = ((qx2 >= 0) & (qx2 <= res - 1)
+                   & (qy2 >= 0) & (qy2 <= res - 1))
+            win = ((jnp.abs(qx2 - ixf) <= f) & (jnp.abs(qy2 - iyf) <= f))
+            d2 = (px - qx2) ** 2 + (py - qy2) ** 2
+            w_s = jnp.exp(-d2 / s2c)
+            ok = pres & inb & win & (w_s > 1e-4)
+            expo_raw = (dn - dmax) / gamma
+            e = jnp.exp(jnp.minimum(expo_raw, 0.0))
+            w = jnp.where(ok, w_s * e, 0.0)
+            gw = jnp.where(ok, gr * cr + gg * cg + gb * cb + gwa, 0.0)
+            dw_s = gw * e
+            dd2 = dw_s * w_s * (-1.0 / s2c)
+            d_px = d_px + dd2 * 2.0 * (px - qx2)
+            d_py = d_py + dd2 * 2.0 * (py - qy2)
+            tie_w = jnp.where(expo_raw < 0.0, 1.0,
+                              jnp.where(expo_raw == 0.0, 0.5, 0.0))
+            d_dn = d_dn + tie_w * gw * w_s * e / gamma
+            d_s2 = d_s2 + dw_s * w_s * (d2 / (s2c * s2c)) * 2.0
+            d_r = d_r + w * gr
+            d_g = d_g + w * gg
+            d_b = d_b + w * gb
+
+    o_ref[0, 0, 0, 0] = d_px
+    o_ref[0, 0, 0, 1] = d_py
+    o_ref[0, 0, 0, 2] = d_dn
+    o_ref[0, 0, 0, 3] = d_s2
+    o_ref[0, 0, 0, 4] = d_r
+    o_ref[0, 0, 0, 5] = d_g
+    o_ref[0, 0, 0, 6] = d_b
+
+
+def assemble_bwd(table, cots, dmax, res: int, f: int, slots: int,
+                 gamma: float) -> jnp.ndarray:
+    """Dense gradient table: d L / d(table entries).
+
+    table: padded [B,S,CH,H+2f,W+2f] (the _build_table output);
+    cots: (g_acc [B,3,res,res], g_wacc [B,res,res]); dmax [B,res,res].
+    Returns [B,S,7,res,res] per-entry gradients in interior pixel
+    layout (d_px, d_py, d_dn, d_sigma2, d_r, d_g, d_b)."""
+    g_acc, g_wacc = cots
+    strip = pick_strip(res)
+    panel = pick_panel(res, f)
+    ny, nx = res // strip, res // panel
+    B, S = table.shape[0], table.shape[1]
+    c = jnp.concatenate([g_acc, g_wacc[:, None], dmax[:, None]],
+                        axis=1)                       # [B,5,res,res]
+    c = jnp.pad(c, ((0, 0), (0, 0), (f, f), (f, f)))
+    ctiles = _tiles(c[:, None], res, f, strip, panel)[:, 0]  # [B,NS,5,...]
+    interior = table[:, :, :, f:-f, f:-f]
+    ttiles = _tiles(interior, res, 0, strip, panel)    # [B,S,NS,CH,...]
+    NS = ny * nx
+    o = pl.pallas_call(
+        functools.partial(_bwd_kernel, res=res, f=f, gamma=gamma,
+                          strip=strip, panel=panel),
+        grid=(B, NS, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, 5, strip + 2 * f, panel + 2 * f),
+                         lambda b, st, s: (b, st, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CH, strip, panel),
+                         lambda b, st, s: (b, s, st, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 7, strip, panel),
+                               lambda b, st, s: (b, s, st, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, NS, 7, strip, panel),
+                                       jnp.float32),
+    )(ctiles, ttiles)
+    o = o.reshape(B, S, ny, nx, 7, strip, panel)
+    o = o.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, S, 7, res, res)
+    return o

@@ -196,16 +196,50 @@ _pose_steps_jit = jax.jit(pose_carry_steps,
 
 def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
                          radius, lr, iters: int, render_size: int,
-                         chunk: int = POSE_CHUNK):
-    """Host-chunked multi-start optimization; returns (best_params, best)."""
-    carry = _pose_init_jit(vert_pos, vert_col, partial_xyz, partial_col,
-                           radius, lr, render_size)
-    done = 0
-    while done < iters:
-        n = min(chunk, iters - done)
-        carry = _pose_steps_jit(carry, vert_pos, vert_col, partial_xyz,
-                                radius, lr, n, render_size)
-        done += n
+                         chunk: int = POSE_CHUNK,
+                         coarse_frac: float = 0.7):
+    """Host-chunked multi-start optimization; returns (best_params, best).
+
+    Coarse-to-fine like the batched runner: the step cost is
+    point-dominated (slot-table build + backward), so the first
+    coarse_frac of the iterations runs at half resolution on a 4x FPS
+    point subsample with sqrt-scaled radius; params + Adam moments
+    transfer to the full phase, whose best-loss tracking alone picks
+    the pose.  coarse_frac=0 reproduces the single-phase behavior.
+    """
+    def run(carry, n, vp, vc, px, rad, res):
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            carry = _pose_steps_jit(carry, vp, vc, px, rad, lr, k, res)
+            done += k
+        return carry
+
+    n_coarse = int(iters * coarse_frac)
+    if n_coarse >= chunk:
+        from genpc_tpu.ops.fps import fps_indices
+        n_pts = vert_pos.shape[0]
+        nc = min(n_pts, max(512, n_pts // 4))
+        res_c = max(64, render_size // 2)
+        ci = fps_indices(vert_pos, nc)
+        pi = fps_indices(partial_xyz, nc)
+        vp_c, vc_c = vert_pos[ci], vert_col[ci]
+        px_c, pc_c = partial_xyz[pi], partial_col[pi]
+        rad_c = radius * jnp.sqrt(jnp.float32(n_pts) / nc)
+        lo = _pose_init_jit(vp_c, vc_c, px_c, pc_c, rad_c, lr, res_c)
+        lo = run(lo, n_coarse, vp_c, vc_c, px_c, rad_c, res_c)
+        carry = _pose_init_jit(vert_pos, vert_col, partial_xyz,
+                               partial_col, radius, lr, render_size)
+        carry["params"] = lo["params"]
+        carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
+        carry["opt"] = lo["opt"]
+        carry = run(carry, iters - n_coarse, vert_pos, vert_col,
+                    partial_xyz, radius, render_size)
+    else:
+        carry = _pose_init_jit(vert_pos, vert_col, partial_xyz,
+                               partial_col, radius, lr, render_size)
+        carry = run(carry, iters, vert_pos, vert_col, partial_xyz,
+                    radius, render_size)
     return carry["best_params"], carry["best"]
 
 
@@ -213,6 +247,7 @@ def object_pose_optimization(complete_xyz, complete_col,
                              partial_xyz, partial_col,
                              radius: float = 0.02, lr: float = 0.01,
                              iters: int = 200, render_size: int = 224,
+                             coarse_frac: float = 0.7,
                              ) -> np.ndarray:
     """Optimize complete->partial pose; returns the best 4x4 as numpy.
 
@@ -224,7 +259,8 @@ def object_pose_optimization(complete_xyz, complete_col,
         jnp.asarray(complete_col, jnp.float32),
         jnp.asarray(partial_xyz, jnp.float32),
         jnp.asarray(partial_col, jnp.float32),
-        jnp.float32(radius), jnp.float32(lr), int(iters), int(render_size))
+        jnp.float32(radius), jnp.float32(lr), int(iters),
+        int(render_size), coarse_frac=float(coarse_frac))
     k = int(jnp.argmin(best))
     rot6d = params["rot6d"][k]
     trans = params["trans"][k]

@@ -100,6 +100,10 @@ DEFAULTS: Dict[str, Any] = dict(
     # full-res phase (coarse-to-fine; 0 = reference single-phase 224²)
     pose_coarse_frac=0.7,
     pose_starts=4,
+    # keep only the best N coarse-phase starts for the full-res phase
+    # (the coarse search decides the basin ranking; 0 or >=pose_starts
+    # polishes all starts at full res like the reference)
+    pose_prune_starts=1,
     emd_eps=0.005,
     emd_iters=50,
     input_points=65536,            # fixed input resampling (one compile/run)

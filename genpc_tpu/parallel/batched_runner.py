@@ -64,6 +64,30 @@ def _bpose_steps(carry, comp, comp_col, part, radius, lr,
                                                        comp_col, part)
 
 
+@functools.partial(jax.jit, static_argnames=("keep",))
+def _bpose_prune(lo, carry, keep: int):
+    """Carry the `keep` best coarse-phase starts into the full-res carry.
+
+    Coarse-phase best losses are comparable across starts (same render
+    resolution/point set), so the basin ranking is already decided when
+    the coarse phase ends; polishing only the winner(s) at full
+    resolution cuts the fine-phase work by 4/keep while the full-res
+    best-loss tracking still picks the final pose.
+    """
+    idx = jnp.argsort(lo["best"], axis=1)[:, :keep]         # [B,keep]
+
+    def take(x):
+        kk = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, kk, axis=1)
+
+    params = jax.tree.map(take, lo["params"])
+    return {"params": params,
+            "best_params": jax.tree.map(jnp.copy, params),
+            "opt": jax.tree.map(take, lo["opt"]),
+            "best": jnp.full_like(carry["best"][:, :keep], jnp.inf),
+            "ref_img": carry["ref_img"], "ref_mask": carry["ref_mask"]}
+
+
 @jax.jit
 def _bpose_pick(carry):
     def pick(params, best):
@@ -79,7 +103,8 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
                        iters: int, render_size: int,
                        chunk: int | None = None,
                        coarse_frac: float = 0.7,
-                       coarse_res: int | None = None):
+                       coarse_res: int | None = None,
+                       prune_to: int = 1):
     """[B,...] pose optimization; returns best 4x4 per object [B,4,4].
 
     Host-chunked: one fused 200-step program for a 13-object batch is a
@@ -96,6 +121,11 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
     — final accuracy is set by the full phase (the reference renders
     2048 points at 224² throughout, diff_obj_pose.py:108-134).
     coarse_frac=0 reproduces the single-phase behavior exactly.
+
+    prune_to keeps only the best prune_to coarse-phase starts for the
+    full-res phase (the reference polishes all 4 starts for all 200
+    steps, diff_obj_pose.py:518-567, but the basin ranking is decided by
+    the coarse search; prune_to=0 or >=4 disables pruning).
     """
     from genpc_tpu.registration.pose_optim import POSE_CHUNK
     chunk = chunk or POSE_CHUNK
@@ -135,13 +165,19 @@ def batched_pose_optim(comp, comp_col, part, part_col, radius, lr,
         lo = run(lo, n_coarse, coarse_res, cc, ccol_c, pc, rad_c)
         carry = _bpose_init(comp, comp_col, part, part_col, radius, lr,
                             render_size)
-        # transfer basin + optimizer moments; best restarts at the new
-        # resolution (losses across resolutions are not comparable).
-        # best_params must be a COPY — the carry is donated, and the
-        # same buffer may not be donated twice in one call
-        carry["params"] = lo["params"]
-        carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
-        carry["opt"] = lo["opt"]
+        n_starts = int(carry["best"].shape[1])
+        if 0 < prune_to < n_starts:
+            # transfer only the best coarse basin(s); moments ride along.
+            # best restarts at the new resolution (losses across
+            # resolutions are not comparable).
+            carry = _bpose_prune(lo, carry, prune_to)
+        else:
+            # transfer basin + optimizer moments for all starts.
+            # best_params must be a COPY — the carry is donated, and the
+            # same buffer may not be donated twice in one call
+            carry["params"] = lo["params"]
+            carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
+            carry["opt"] = lo["opt"]
         carry = run(carry, iters - n_coarse, render_size,
                     comp, comp_col, part, radius)
     else:
@@ -327,7 +363,8 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         jnp.float32(0.02), jnp.float32(cfg.get("pose_lr", 0.01)),
         int(cfg.get("pose_iters", 200)),
         int(cfg.get("pose_render_size", 224)),
-        coarse_frac=float(cfg.get("pose_coarse_frac", 0.7)))
+        coarse_frac=float(cfg.get("pose_coarse_frac", 0.7)),
+        prune_to=int(cfg.get("pose_prune_starts", 1)))
     diff_T = np.linalg.inv(np.asarray(T)).astype(np.float32)
 
     # normalize targets, transform sources into pose frame (host, per obj)

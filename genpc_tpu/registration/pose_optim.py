@@ -194,10 +194,25 @@ _pose_steps_jit = jax.jit(pose_carry_steps,
                           donate_argnums=(0,))
 
 
+@functools.partial(jax.jit, static_argnames=("keep",))
+def _prune_starts(lo, carry, keep: int):
+    """Carry the `keep` best coarse starts into the full-res carry
+    (single-object leaves are [S, ...]; see batched_runner._bpose_prune)."""
+    idx = jnp.argsort(lo["best"])[:keep]
+    take = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
+    params = jax.tree.map(take, lo["params"])
+    return {"params": params,
+            "best_params": jax.tree.map(jnp.copy, params),
+            "opt": jax.tree.map(take, lo["opt"]),
+            "best": jnp.full((keep,), jnp.inf, jnp.float32),
+            "ref_img": carry["ref_img"], "ref_mask": carry["ref_mask"]}
+
+
 def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
                          radius, lr, iters: int, render_size: int,
                          chunk: int = POSE_CHUNK,
-                         coarse_frac: float = 0.7):
+                         coarse_frac: float = 0.7,
+                         prune_to: int = 1):
     """Host-chunked multi-start optimization; returns (best_params, best).
 
     Coarse-to-fine like the batched runner: the step cost is
@@ -206,6 +221,11 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
     point subsample with sqrt-scaled radius; params + Adam moments
     transfer to the full phase, whose best-loss tracking alone picks
     the pose.  coarse_frac=0 reproduces the single-phase behavior.
+
+    prune_to keeps only the best prune_to coarse starts for the full
+    phase (the reference polishes all 4 starts for all 200 steps,
+    diff_obj_pose.py:518-567; the basin ranking is decided by the
+    coarse search).  0 or >=4 disables pruning.
     """
     def run(carry, n, vp, vc, px, rad, res):
         done = 0
@@ -230,9 +250,13 @@ def _optimize_all_starts(vert_pos, vert_col, partial_xyz, partial_col,
         lo = run(lo, n_coarse, vp_c, vc_c, px_c, rad_c, res_c)
         carry = _pose_init_jit(vert_pos, vert_col, partial_xyz,
                                partial_col, radius, lr, render_size)
-        carry["params"] = lo["params"]
-        carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
-        carry["opt"] = lo["opt"]
+        n_starts = int(carry["best"].shape[0])
+        if 0 < prune_to < n_starts:
+            carry = _prune_starts(lo, carry, prune_to)
+        else:
+            carry["params"] = lo["params"]
+            carry["best_params"] = jax.tree.map(jnp.copy, lo["params"])
+            carry["opt"] = lo["opt"]
         carry = run(carry, iters - n_coarse, vert_pos, vert_col,
                     partial_xyz, radius, render_size)
     else:
@@ -248,6 +272,7 @@ def object_pose_optimization(complete_xyz, complete_col,
                              radius: float = 0.02, lr: float = 0.01,
                              iters: int = 200, render_size: int = 224,
                              coarse_frac: float = 0.7,
+                             prune_to: int = 1,
                              ) -> np.ndarray:
     """Optimize complete->partial pose; returns the best 4x4 as numpy.
 
@@ -260,7 +285,8 @@ def object_pose_optimization(complete_xyz, complete_col,
         jnp.asarray(partial_xyz, jnp.float32),
         jnp.asarray(partial_col, jnp.float32),
         jnp.float32(radius), jnp.float32(lr), int(iters),
-        int(render_size), coarse_frac=float(coarse_frac))
+        int(render_size), coarse_frac=float(coarse_frac),
+        prune_to=int(prune_to))
     k = int(jnp.argmin(best))
     rot6d = params["rot6d"][k]
     trans = params["trans"][k]

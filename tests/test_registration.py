@@ -112,6 +112,35 @@ def test_pose_optimization_recovers_rotation():
     assert cd_after < cd_before * 0.6
 
 
+def test_pose_optimization_start_pruning_matches_unpruned():
+    """Pruning to the best coarse-phase start (pose_prune_starts=1) must
+    recover the same rotation the all-starts fine phase does — the basin
+    ranking is decided by the coarse search, the full-res phase only
+    polishes (batched_runner._bpose_prune / pose_optim._prune_starts)."""
+    import jax.numpy as jnp
+    from genpc_tpu.metrics.losses import chamfer_l1
+    from genpc_tpu.parallel.batched_runner import batched_pose_optim
+
+    comp = _shape_cloud(256, seed=3)
+    comp = comp - comp.mean(0)
+    R = get_rotate_matrix("y", 90)
+    partial = (comp @ R.T).astype(np.float32)
+    cols = np.full_like(comp, 0.7)
+    args = (jnp.asarray(comp)[None], jnp.asarray(cols)[None],
+            jnp.asarray(partial)[None], jnp.asarray(cols)[None],
+            jnp.float32(0.03), jnp.float32(0.01))
+    cd_before = float(chamfer_l1(comp, partial))
+    cds = {}
+    for prune in (0, 1):
+        T = np.asarray(batched_pose_optim(
+            *args, 50, 64, chunk=25, coarse_frac=0.7, prune_to=prune))[0]
+        moved = comp @ T[:3, :3].T + T[:3, 3]
+        cds[prune] = float(chamfer_l1(moved, partial))
+    assert cds[1] < cd_before * 0.6
+    # pruned must not be meaningfully worse than polishing all starts
+    assert cds[1] <= cds[0] * 1.25 + 1e-3
+
+
 def test_similarity_icp_recovers_similarity():
     """Umeyama ICP recovers a scale+rotation+translation from a
     near-aligned start (the final-refine regime)."""

@@ -116,6 +116,10 @@ DEFAULTS: Dict[str, Any] = dict(
     weights_dir=None,              # where pretrained safetensors live, if any
     model_size="tiny",             # generative model scale: tiny|base|full
     mesh_shape=None,               # e.g. {"dp": 8} for object parallelism
+    # objects per image-to-3D device program (generate_meshes_batch);
+    # 0 = the whole batch.  Bound it for full-size presets so the
+    # vmapped multiview/triplane programs fit HBM.
+    image23d_batch=0,
 )
 
 

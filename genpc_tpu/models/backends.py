@@ -14,8 +14,25 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 from genpc_tpu.models.synthetic import (
     SyntheticDepth2Image, SyntheticImage23D, SyntheticRembg)
+
+
+def prep_rgb(image: np.ndarray, size: int) -> np.ndarray:
+    """RGBA/RGB [H,W,*] in [0,1] -> alpha-matted RGB [size,size,3].
+
+    The shared no-background-image normalization every image23d backend
+    applies before encoding (reference: tools/instantmesh.py:121-128
+    preprocesses the RGBA matte the same way)."""
+    img = np.asarray(image, np.float32)
+    if img.shape[-1] == 4:
+        img = img[..., :3] * img[..., 3:4]
+    from PIL import Image
+    return np.asarray(Image.fromarray(
+        (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR), np.float32) / 255.0
 
 
 def get_depth2image(name: str, cfg: Any = None):

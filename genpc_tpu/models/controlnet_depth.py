@@ -172,13 +172,15 @@ class ControlNetDepth:
         latents = jax.random.normal(k, lat_shape) * sched.init_noise_sigma
         return latents, jax.random.split(rng, steps)
 
-    @functools.partial(jax.jit, static_argnames=("self", "steps", "lo",
-                                                 "hi"),
+    @functools.partial(jax.jit, static_argnames=("self", "steps"),
                        donate_argnums=(2,))   # donate latents (arg 0=self)
     def _denoise_chunk(self, params, latents, cond_img, context,
                        context_neg, added_cond, added_cond_neg, noise_keys,
-                       steps: int, lo: int, hi: int,
+                       lo, hi, steps: int,
                        guidance: float = 5.0, control_scale: float = 1.0):
+        """lo/hi are TRACED (fori_loop lowers to while_loop): every
+        host-chunked segment shares ONE executable instead of compiling
+        steps/chunk distinct full-UNet programs."""
         sched = EulerAncestral(steps)
         adapter_feats = ([f * control_scale for f in self.controlnet.apply(
             params["controlnet"], cond_img)] if self.adapter else None)
@@ -241,8 +243,8 @@ class ControlNetDepth:
                 hi = min(lo + chunk, num_inference_steps)
                 latents = self._denoise_chunk(
                     self._params, latents, cond, ctx, ctx_neg, added,
-                    added_neg, noise_keys, num_inference_steps, lo, hi,
-                    guidance=5.0,
+                    added_neg, noise_keys, jnp.int32(lo), jnp.int32(hi),
+                    num_inference_steps, guidance=5.0,
                     control_scale=controlnet_conditioning_scale)
                 lo = hi
             img = self._decode(self._params, latents)

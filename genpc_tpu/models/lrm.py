@@ -468,11 +468,12 @@ class InstantMeshBackend:
             * sched.init_noise_sigma
         return latents, cond_pair, rng
 
-    @functools.partial(jax.jit, static_argnames=("self", "steps", "lo",
-                                                 "hi"),
+    @functools.partial(jax.jit, static_argnames=("self", "steps"),
                        donate_argnums=(2,))   # donate latents
     def _mv_chunk(self, params, latents, cond_pair, ctx_pair, rng,
-                  steps: int, lo: int, hi: int):
+                  lo, hi, steps: int):
+        """lo/hi are TRACED so all host-chunked segments share one
+        executable (fori_loop lowers to while_loop)."""
         sched = EulerAncestral(steps, spacing="trailing", prediction="v")
         body = self._mv_body(params, ctx_pair, cond_pair, sched)
         return jax.lax.fori_loop(lo, hi, body, (latents, rng))
@@ -499,9 +500,148 @@ class InstantMeshBackend:
         while lo < steps:
             hi = min(lo + chunk, steps)
             latents, rng = self._mv_chunk(params, latents, cond_pair,
-                                          ctx_pair, rng, steps, lo, hi)
+                                          ctx_pair, rng, jnp.int32(lo),
+                                          jnp.int32(hi), steps)
             lo = hi
         return self._mv_decode(params, latents)
+
+    # ---------------------------------------------- object-batched path
+    def _encode_context_batch(self, params, imgs01: np.ndarray):
+        """imgs01 [B,vs,vs,3] in [0,1] -> context [B,2,77,D]
+        ((neg, pos) per object; see _encode_context)."""
+        ids = jnp.asarray(self.tokenizer(""))[None]
+        txt, _, _ = self.clip_text.apply(params["clip_text"], ids)
+        pix = jnp.asarray(np.concatenate(
+            [clip_preprocess(i, self.vis_cfg.image_size) for i in imgs01]))
+        _, img_emb = self.clip_vision.apply(params["clip_vision"], pix)
+        ramp = params["ramping"][: txt.shape[1]]
+        pos = txt + ramp[None, :, None] * img_emb[:, None, :]  # [B,77,D]
+        neg = jnp.broadcast_to(txt, pos.shape)
+        return jnp.stack([neg, pos], axis=1)
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _mv_init_batch(self, params, images, rng, steps: int):
+        """images [B,vs,vs,3] in [-1,1] -> (latents [B,1,gh,gw,C],
+        cond_pair [B,2,h,w,C], per-object rngs [B,2])."""
+        cond_pos = self.vae.apply(params["vae"], images,
+                                  method=AutoencoderKL.encode)
+        cond_neg = self.vae.apply(params["vae"],
+                                  -jnp.ones_like(images[:1]),
+                                  method=AutoencoderKL.encode)
+        cond_pair = jnp.stack(
+            [jnp.broadcast_to(cond_neg, cond_pos.shape), cond_pos], axis=1)
+        gh, gw = self._grid_hw()
+        sched = EulerAncestral(steps, spacing="trailing", prediction="v")
+        rng, k0 = jax.random.split(rng)
+        latents = jax.random.normal(
+            k0, (images.shape[0], 1, gh, gw, self.unet_cfg.in_channels)) \
+            * sched.init_noise_sigma
+        rngs = jax.random.split(jax.random.fold_in(rng, 1),
+                                images.shape[0])
+        return latents, cond_pair, rngs
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"),
+                       donate_argnums=(2,))   # donate latents
+    def _mv_chunk_batch(self, params, latents, cond_pair, ctx, rngs,
+                        lo, hi, steps: int):
+        """lo/hi are TRACED (fori_loop lowers to while_loop), so every
+        host-chunked segment reuses ONE executable — the single-object
+        path's static-bounds variant compiles one program per segment."""
+        sched = EulerAncestral(steps, spacing="trailing", prediction="v")
+
+        def one(lat, cp, cx, r):
+            body = self._mv_body(params, cx, cp, sched)
+            return jax.lax.fori_loop(lo, hi, body, (lat, r))
+
+        return jax.vmap(one)(latents, cond_pair, ctx, rngs)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _mv_decode_batch(self, params, latents):
+        """latents [B,1,gh,gw,C] -> views [B,6,vs,vs,3]."""
+        grid = self.vae.apply(params["vae"], latents[:, 0],
+                              method=AutoencoderKL.decode)
+        grid = jnp.clip(grid / 2 + 0.5, 0, 1)
+        vs = self.lrm_cfg.view_size
+        b = grid.shape[0]
+        views = grid.reshape(b, 3, vs, 2, vs, 3).transpose(0, 1, 3, 2, 4,
+                                                           5)
+        return views.reshape(b, 6, vs, vs, 3)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _density_grid_batch(self, params, views, cameras):
+        """views [B,6,vs,vs,3], cameras [B,6,16] -> (planes [B,...],
+        sdf [B,R,R,R])."""
+        planes = self.lrm.apply(params["lrm"], views, cameras,
+                                method=TriplaneLRM.forward_planes)
+        R = self.lrm_cfg.grid_res
+        g = jnp.linspace(-1.0, 1.0, R)
+        pts = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+
+        def q(p):
+            sdf, _, _, _ = self.lrm.apply(params["lrm"], p, pts,
+                                          method=TriplaneLRM.query)
+            return sdf.reshape(R, R, R)
+
+        return planes, jax.vmap(q)(planes)
+
+    def generate_meshes_batch(self, flags, images) -> list:
+        """Object-batched zero123plus + LRM: B no-background images ->
+        B colored meshes.  The multiview denoise loop (vmapped over
+        objects inside each host-chunked segment), VAE decode and
+        triplane/SDF grids each run as ONE [B, ...] device program —
+        SURVEY §2.3's "batch the diffusion denoise loops across
+        objects" for the image-to-3D stage (VERDICT r2 #3); the
+        reference runs zero123plus once per object
+        (tools/instantmesh.py:115-182)."""
+        if self._params is None:
+            self._params = self._init_params()
+        imgs01 = np.stack([self._prep_image(im) for im in images])
+        self.rng, k = jax.random.split(self.rng)
+        ctx = self._encode_context_batch(self._params, imgs01)
+        latents, cond_pair, rngs = self._mv_init_batch(
+            self._params, jnp.asarray(imgs01 * 2 - 1), k, self.mv_steps)
+        lo = 0
+        while lo < self.mv_steps:   # host-chunked (tunnel watchdog)
+            hi = min(lo + 25, self.mv_steps)
+            latents, rngs = self._mv_chunk_batch(
+                self._params, latents, cond_pair, ctx, rngs,
+                jnp.int32(lo), jnp.int32(hi), self.mv_steps)
+            lo = hi
+        views = self._mv_decode_batch(self._params, latents)
+        cams = jnp.broadcast_to(
+            jnp.asarray(zero123plus_cameras(self.lrm_cfg.num_views))[None],
+            (len(images), self.lrm_cfg.num_views, 16))
+        planes, sdfs = self._density_grid_batch(self._params, views, cams)
+        d_all = np.asarray(sdfs)
+        meshes = []
+        for i in range(len(images)):
+            d = d_all[i]
+            level = float(np.median(d))
+            verts, faces = marching_tetrahedra(d, level=level)
+            if len(verts) == 0:
+                verts = np.zeros((3, 3), np.float32)
+                faces = np.asarray([[0, 1, 2]], np.int32)
+            rgb = self._mesh_colors(planes[i], verts)
+            meshes.append(Mesh(verts.astype(np.float32),
+                               faces.astype(np.int32), rgb))
+        return meshes
+
+    def _prep_image(self, image_nobg) -> np.ndarray:
+        """RGBA/RGB [H,W,*] in [0,1] -> alpha-matted [vs,vs,3]."""
+        from genpc_tpu.models.backends import prep_rgb
+        return prep_rgb(image_nobg, self.lrm_cfg.view_size)
+
+    def _mesh_colors(self, planes, verts: np.ndarray) -> np.ndarray:
+        """Query vertex colors with verts padded to a 8192 bucket so
+        per-object vertex counts don't each compile a fresh program."""
+        n = len(verts)
+        npad = -(-n // 8192) * 8192
+        vp = np.concatenate(
+            [verts, np.repeat(verts[-1:], npad - n, axis=0)])
+        rgb = np.asarray(self._colors_at(self._params, planes,
+                                         jnp.asarray(vp, jnp.float32)))
+        return np.clip(rgb[:n], 0, 1).astype(np.float32)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _density_grid(self, params, views, cameras):
@@ -526,15 +666,7 @@ class InstantMeshBackend:
                  partial_xyz=None, partial_rgb=None, viewpoint=None) -> Mesh:
         if self._params is None:
             self._params = self._init_params()
-        img = np.asarray(image_nobg, np.float32)
-        if img.shape[-1] == 4:
-            img = img[..., :3] * img[..., 3:4]
-        vs = self.lrm_cfg.view_size
-        from PIL import Image
-        img = np.asarray(Image.fromarray(
-            (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
-            (vs, vs), Image.BILINEAR), np.float32) / 255.0
-
+        img = self._prep_image(image_nobg)
         self.rng, k = jax.random.split(self.rng)
         ctx_pair = self._encode_context(self._params, img)
         views = self._multiview(self._params, jnp.asarray(img * 2 - 1)[None],
@@ -548,7 +680,5 @@ class InstantMeshBackend:
         if len(verts) == 0:
             verts = np.zeros((3, 3), np.float32)
             faces = np.asarray([[0, 1, 2]], np.int32)
-        rgb = np.asarray(self._colors_at(self._params, planes,
-                                         jnp.asarray(verts)))
-        return Mesh(verts.astype(np.float32), faces.astype(np.int32),
-                    np.clip(rgb, 0, 1).astype(np.float32))
+        rgb = self._mesh_colors(planes, verts)
+        return Mesh(verts.astype(np.float32), faces.astype(np.int32), rgb)

@@ -253,30 +253,55 @@ class TrellisBackend:
         flat = idx[:, 0] * R * R + idx[:, 1] * R + idx[:, 2]
         return rgb_vox[flat]
 
-    # ------------------------------------------------------------------
-    def __call__(self, flag: str, image_nobg: np.ndarray,
-                 partial_xyz=None, partial_rgb=None, viewpoint=None) -> Mesh:
-        if self._params is None:
-            self._params = self._init_params()
-        img = np.asarray(image_nobg, np.float32)
-        if img.shape[-1] == 4:
-            img = img[..., :3] * img[..., 3:4]
-        s = self.tc.img_size
-        from PIL import Image
-        img = np.asarray(Image.fromarray(
-            (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
-            (s, s), Image.BILINEAR), np.float32) / 255.0
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _generate_batch(self, params, imgs, rngs, steps: int):
+        """imgs [B,s,s,3] in [-1,1] -> (sdf [B,RK,RK,RK], rgb [B,T,3])."""
+        def one(img, key):
+            sdf, _, rgb, _ = self._generate(params, img[None], key, steps)
+            return sdf, rgb
+        return jax.vmap(one)(imgs, rngs)
 
-        self.rng, k = jax.random.split(self.rng)
-        sdf, _, rgb_vox, _ = self._generate(
-            self._params, jnp.asarray(img * 2 - 1)[None], k, self.steps)
-        d = np.asarray(sdf)
-        level = float(np.median(d))    # guarantees a surface at random init
-        verts, faces = marching_tetrahedra(d, level=level)
+    def _mesh_from(self, sdf: np.ndarray, rgb_vox) -> Mesh:
+        level = float(np.median(sdf))  # guarantees a surface at random init
+        verts, faces = marching_tetrahedra(sdf, level=level)
         if len(verts) == 0:
             verts = np.zeros((3, 3), np.float32)
             faces = np.asarray([[0, 1, 2]], np.int32)
-        cols = np.asarray(self._colors_at(jnp.asarray(rgb_vox),
-                                          jnp.asarray(verts)))
+        n = len(verts)
+        npad = -(-n // 8192) * 8192    # shape bucket: one compile per size
+        vp = np.concatenate([verts, np.repeat(verts[-1:], npad - n, 0)])
+        cols = np.asarray(self._colors_at(
+            rgb_vox, jnp.asarray(vp, jnp.float32)))[:n]
         return Mesh(verts.astype(np.float32), faces.astype(np.int32),
                     np.clip(cols, 0, 1).astype(np.float32))
+
+    def generate_meshes_batch(self, flags, images) -> list:
+        """Object-batched two-stage flow: both flow samplers, the SLAT
+        decode and the dense-SDF assembly run as ONE [B,...] device
+        program (vmapped inside one jit); only marching tetrahedra and
+        vertex-color gathers loop per object on host (SURVEY §2.3 /
+        VERDICT r2 #3; the reference runs TRELLIS once per object,
+        tools/trellis.py:17-56)."""
+        from genpc_tpu.models.backends import prep_rgb
+        if self._params is None:
+            self._params = self._init_params()
+        imgs = np.stack([prep_rgb(im, self.tc.img_size) for im in images])
+        self.rng, k = jax.random.split(self.rng)
+        rngs = jax.random.split(k, len(images))
+        sdfs, rgbs = self._generate_batch(
+            self._params, jnp.asarray(imgs * 2 - 1), rngs, self.steps)
+        d_all = np.asarray(sdfs)
+        return [self._mesh_from(d_all[i], rgbs[i])
+                for i in range(len(images))]
+
+    # ------------------------------------------------------------------
+    def __call__(self, flag: str, image_nobg: np.ndarray,
+                 partial_xyz=None, partial_rgb=None, viewpoint=None) -> Mesh:
+        from genpc_tpu.models.backends import prep_rgb
+        if self._params is None:
+            self._params = self._init_params()
+        img = prep_rgb(image_nobg, self.tc.img_size)
+        self.rng, k = jax.random.split(self.rng)
+        sdf, _, rgb_vox, _ = self._generate(
+            self._params, jnp.asarray(img * 2 - 1)[None], k, self.steps)
+        return self._mesh_from(np.asarray(sdf), jnp.asarray(rgb_vox))

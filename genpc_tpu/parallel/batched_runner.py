@@ -336,6 +336,14 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         src = np.asarray(art.color_xyz, np.float32)
         src_rgb = (np.asarray(art.color_rgb, np.float32)
                    if art.color_rgb is not None else np.full_like(src, 0.5))
+        if art.complete_xyz is None and art.complete_mesh is not None:
+            # mesh-producing backends (InstantMesh/TRELLIS/SF3D): sample
+            # the surface like the single-object path (reference:
+            # reg_xyz.py:125 glb2point)
+            from genpc_tpu.io.glb import sample_mesh_surface
+            art.complete_xyz, art.complete_rgb = sample_mesh_surface(
+                art.complete_mesh, int(cfg.get("glb_sample_points",
+                                               163840)))
         tgt, tgt_rgb = resample_fixed(
             art.complete_xyz, int(cfg.get("glb_sample_points", 163840)),
             art.complete_rgb)

@@ -87,6 +87,22 @@ class ScaleAdapter:
                         art.flag, art.color_xyz, art.color_rgb,
                         art.viewpoint, plan)
                 art.complete_aligned = True
+        elif hasattr(self.image23d, "generate_meshes_batch"):
+            # object-batched image-to-3D: the denoise/decode/triplane
+            # programs run once over [B,...] (VERDICT r2 #3).
+            # cfg.image23d_batch bounds the per-program object count so
+            # full-size presets can fit HBM (0 = whole batch).
+            nb = int(self.cfg.get("image23d_batch", 0)) or len(arts)
+            aligned = bool(getattr(self.image23d, "output_aligned",
+                                   False))
+            for i in range(0, len(arts), nb):
+                chunk = arts[i:i + nb]
+                meshes = self.image23d.generate_meshes_batch(
+                    [a.flag for a in chunk],
+                    [a.image_nobg for a in chunk])
+                for art, m in zip(chunk, meshes):
+                    art.complete_mesh = m
+                    art.complete_aligned = aligned
         else:
             for art in arts:
                 self.img2shape(art)

@@ -212,6 +212,57 @@ def test_lrm_tiny_end_to_end():
     assert np.isfinite(mesh.vertices).all()
 
 
+@pytest.mark.parametrize("name", ["instantmesh", "trellis", "sf3d"])
+def test_image23d_generate_meshes_batch(name):
+    """Object-batched image-to-3D (VERDICT r2 #3): every mesh-producing
+    backend runs its device programs once over [B,...] and returns B
+    valid meshes."""
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.backends import get_image23d
+    backend = get_image23d(name, load_config(model_size="tiny"))
+    r = np.random.default_rng(0)
+    imgs = [r.random((48, 48, 4)).astype(np.float32) for _ in range(2)]
+    meshes = backend.generate_meshes_batch(["a", "b"], imgs)
+    assert len(meshes) == 2
+    for m in meshes:
+        assert m.vertices.shape[1] == 3 and m.faces.shape[1] == 3
+        assert m.vertex_colors.shape == m.vertices.shape
+        assert np.isfinite(m.vertices).all()
+
+
+def test_scale_adapter_batch_uses_batched_image23d():
+    """scale_adapter_batch must route mesh-producing backends through
+    generate_meshes_batch and batched_reg must sample the mesh surface
+    (the batched+neural combination previously assumed complete_xyz)."""
+    from genpc_tpu.config import load_config
+    from genpc_tpu.parallel.batched_runner import batched_reg
+    from genpc_tpu.pipeline.artifacts import ObjectArtifacts
+    from genpc_tpu.pipeline.scale_adapter import ScaleAdapter
+    cfg = load_config(
+        save=False, output_path="/tmp/test_ws_b23d",
+        generative_model="instantmesh", rembg_model="synthetic",
+        model_size="tiny", trust_aligned_completion=False,
+        glb_sample_points=256, pose_complete_points=64, icp_points=64,
+        pose_iters=3, pose_render_size=32, fused_points=128,
+        fine_scale_steps=2, image23d_batch=1)   # exercise HBM chunking
+    sa = ScaleAdapter(cfg)
+    r = np.random.default_rng(1)
+    arts = []
+    for i in range(2):
+        xyz = r.normal(size=(256, 3)).astype(np.float32) * 0.2
+        art = ObjectArtifacts(flag=f"o{i}", xyz=xyz,
+                              rgb=np.full((256, 3), 0.5, np.float32))
+        art.image = r.random((48, 48, 3)).astype(np.float32)
+        art.point_uv = r.random((256, 2)).astype(np.float32)
+        arts.append(art)
+    sa.scale_adapter_batch(arts)
+    for art in arts:
+        assert art.complete_mesh is not None
+    batched_reg(cfg, arts)
+    for art in arts:
+        assert art.fused_xyz is not None and len(art.fused_xyz) > 0
+
+
 def test_triplane_sampling_interpolates():
     from genpc_tpu.models.lrm import sample_triplane
     planes = jnp.zeros((3, 4, 4, 2)).at[0, :, :, 0].set(1.0)

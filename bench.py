@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -54,9 +55,44 @@ def quality(results):
             round(float(np.mean(emds)) * 100, 3) if emds else None)
 
 
+def _preflight_backend(timeout_s: int = 180) -> Optional[str]:
+    """Probe the TPU backend in a bounded subprocess.
+
+    jax.devices() blocks FOREVER when the axon tunnel relay is down
+    (observed: relay process died mid-round, port 8113 closed) — a
+    hang here would eat the whole bench run and record nothing.
+    Returns None when healthy, else a diagnostic string."""
+    import subprocess
+    code = ("import jax; d = jax.devices(); "
+            "print(jax.default_backend(), len(d))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"jax.devices() hung >{timeout_s}s — TPU tunnel relay "
+                "unreachable (is the relay listening on :8113?)")
+    if proc.returncode != 0:
+        return f"backend init failed: {proc.stderr[-300:]!r}"
+    return None
+
+
 def main():
     data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
     out_dir = os.environ.get("GENPC_BENCH_WS", "/tmp/genpc_bench_ws")
+
+    fail = _preflight_backend()
+    if fail is not None:
+        print(json.dumps({
+            "metric": "objects/min/chip end-to-end incl. full "
+                      "registration stack (synthetic backends, redwood, "
+                      "CD+EMD eval, object-batched)",
+            "value": 0.0, "unit": "objects/min/chip", "vs_baseline": 0.0,
+            "extra": {"note": f"BENCH ABORTED, not a regression: {fail}",
+                      "last_known_good":
+                          "see BENCH_r02.json / STATUS.md (21.0 obj/min "
+                          "local validated run)"}}))
+        return
 
     from genpc_tpu.categories import REDWOOD_FLAGS
     from genpc_tpu.config import load_config

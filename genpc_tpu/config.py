@@ -120,6 +120,10 @@ DEFAULTS: Dict[str, Any] = dict(
     # 0 = the whole batch.  Bound it for full-size presets so the
     # vmapped multiview/triplane programs fit HBM.
     image23d_batch=0,
+    # final input-frame refine model (when final_icp_refine):
+    # 'anisotropic' R·diag(s) (default) | 'affine' general A (cancels
+    # the chain's full R1·diag·R2 residual) | 'similarity' c·R
+    final_refine="anisotropic",
 )
 
 

@@ -243,11 +243,17 @@ def _fine_icp_batch(scales3, src, tgt):
     return jax.vmap(one)(scales3, src, tgt)
 
 
-@jax.jit
-def batched_similarity_refine(src, tgt):
-    """[B,N,3] partials -> [B,4,4] similarity transforms onto completes."""
-    from genpc_tpu.registration.icp import anisotropic_icp
-    return jax.vmap(lambda s, t: anisotropic_icp(s, t, 0.05))(src, tgt)
+@functools.partial(jax.jit, static_argnames=("mode",))
+def batched_similarity_refine(src, tgt, mode: str = "anisotropic"):
+    """[B,N,3] partials -> [B,4,4] final-refine transforms onto
+    completes.  mode: 'anisotropic' (R·diag(s), default) | 'affine'
+    (general A, cancels the chain's full R1·diag·R2 residual) |
+    'similarity' (Umeyama c·R)."""
+    from genpc_tpu.registration.icp import (affine_icp, anisotropic_icp,
+                                            similarity_icp)
+    fn = {"anisotropic": anisotropic_icp, "affine": affine_icp,
+          "similarity": similarity_icp}[mode]
+    return jax.vmap(lambda s, t: fn(s, t, 0.05))(src, tgt)
 
 
 @jax.jit
@@ -438,7 +444,8 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
             rt.append(resample_fixed(td, icp_n)[0].astype(np.float32))
         rs_d, rt_d = dp_sharded(mesh, jnp.asarray(np.stack(rs)),
                                 jnp.asarray(np.stack(rt)))
-        Tr = np.asarray(batched_similarity_refine(rs_d, rt_d))
+        Tr = np.asarray(batched_similarity_refine(
+            rs_d, rt_d, mode=str(cfg.get("final_refine", "anisotropic"))))
         for i in range(B):
             final_t[i] = _apply(np.linalg.inv(Tr[i]), final_t[i])
 

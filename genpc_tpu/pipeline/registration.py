@@ -186,13 +186,18 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
     # counterpart): the scale grids leave a few-percent residual error —
     # one Umeyama ICP partial->complete in the input frame removes it
     if bool(cfg.get("final_icp_refine", True)):
-        from genpc_tpu.registration.icp import anisotropic_icp
+        from genpc_tpu.registration.icp import (affine_icp,
+                                                anisotropic_icp,
+                                                similarity_icp)
+        fn = {"anisotropic": anisotropic_icp, "affine": affine_icp,
+              "similarity": similarity_icp}[
+            str(cfg.get("final_refine", "anisotropic"))]
         sd, _ = voxel_down_sample(src_w, 0.03)
         td, _ = voxel_down_sample(tgt_n, 0.03)
         sd, _ = resample_fixed(sd, icp_n)
         td, _ = resample_fixed(td, icp_n)
-        Tr = np.asarray(anisotropic_icp(sd.astype(np.float32),
-                                        td.astype(np.float32), 0.05))
+        Tr = np.asarray(fn(sd.astype(np.float32),
+                           td.astype(np.float32), 0.05))
         tgt_n = _apply(np.linalg.inv(Tr), tgt_n)
 
     # 6. fuse (reg_xyz.py:210-223)

@@ -188,6 +188,56 @@ def anisotropic_icp(source: jnp.ndarray, target: jnp.ndarray,
                              jnp.eye(4, dtype=jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def affine_icp(source: jnp.ndarray, target: jnp.ndarray,
+               max_correspondence_distance: float = 0.05,
+               iters: int = 30) -> jnp.ndarray:
+    """ICP with a GENERAL affine model x -> A·x + t (A any 3x3).
+
+    The registration chain's exact residual on aligned inputs composes
+    to R1·diag(s)·R2 — a general affine, not R·diag(s)
+    (anisotropic_icp's model; see its docstring for the two reference
+    quirks that compose it).  Per iteration the closed-form weighted
+    least squares A = (Ycᵀ W Xc)(Xcᵀ W Xc + λI)⁻¹ cancels it fully.
+    A's singular values are clamped to [0.75, 1.25] so degenerate
+    correspondences (thin structures, partial overlap) cannot collapse
+    or shear the cloud unboundedly.  Opt-in via cfg.final_refine =
+    'affine' (default stays 'anisotropic').
+
+    Returns T 4x4 with T[:3,:3] = A.
+    """
+    src = jnp.asarray(source, jnp.float32)
+    tgt = jnp.asarray(target, jnp.float32)
+    thresh2 = jnp.float32(max_correspondence_distance) ** 2
+
+    def body(_, T):
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        d2, idx = _nn(moved[None], tgt[None])
+        d2, idx = d2[0], idx[0]
+        w0 = (d2 <= thresh2).astype(jnp.float32)
+        any_in = w0.sum() > 8
+        w = jnp.where(any_in, w0, jnp.ones_like(w0))
+        y = tgt[idx]
+        wsum = jnp.maximum(w.sum(), 1e-6)
+        xm = (w[:, None] * moved).sum(0) / wsum
+        ym = (w[:, None] * y).sum(0) / wsum
+        Xc = moved - xm
+        Yc = y - ym
+        Sxx = (w[:, None] * Xc).T @ Xc
+        Sxx = Sxx + 1e-6 * jnp.trace(Sxx) * jnp.eye(3, dtype=jnp.float32)
+        Sxy = (w[:, None] * Yc).T @ Xc
+        A = Sxy @ jnp.linalg.inv(Sxx)
+        U, S, Vt = jnp.linalg.svd(A)
+        A = U @ jnp.diag(jnp.clip(S, 0.75, 1.25)) @ Vt
+        t = ym - A @ xm
+        dT = (jnp.eye(4, dtype=jnp.float32)
+              .at[:3, :3].set(A).at[:3, 3].set(t))
+        return jnp.where(any_in, dT @ T, T)
+
+    return jax.lax.fori_loop(0, iters, body,
+                             jnp.eye(4, dtype=jnp.float32))
+
+
 def _scale_mat(s) -> jnp.ndarray:
     s3 = jnp.broadcast_to(jnp.asarray(s, jnp.float32), (3,))
     return jnp.diag(jnp.concatenate([s3, jnp.ones(1, jnp.float32)]))

@@ -158,6 +158,33 @@ def test_similarity_icp_recovers_similarity():
     assert np.abs(moved - tgt).max() < 1e-3
 
 
+def test_affine_icp_cancels_rotated_frame_anisotropy():
+    """The registration chain's aligned-input residual composes to
+    R1·diag(s)·R2 — outside anisotropic_icp's R·diag(s) model.  The
+    general-affine refine (cfg.final_refine='affine') must cancel it
+    essentially exactly; the anisotropic model must at least not beat
+    it (STATUS r3 honest-gap #3)."""
+    from genpc_tpu.geometry.transforms import get_rotate_matrix
+    from genpc_tpu.registration.icp import affine_icp, anisotropic_icp
+    r = np.random.default_rng(2)
+    tgt = r.normal(size=(512, 3)).astype(np.float32) * 0.3
+    R1 = get_rotate_matrix("y", 9.0)[:3, :3]
+    R2 = get_rotate_matrix("x", -7.0)[:3, :3]
+    A = R1 @ np.diag([1.08, 0.94, 1.03]).astype(np.float32) @ R2
+    t = np.array([0.015, -0.02, 0.01], np.float32)
+    src = (tgt @ A.T + t).astype(np.float32)
+
+    def resid(T):
+        moved = src @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+        return float(np.abs(moved - tgt).max())
+
+    r_affine = resid(affine_icp(jnp.asarray(src), jnp.asarray(tgt), 0.2))
+    r_aniso = resid(anisotropic_icp(jnp.asarray(src), jnp.asarray(tgt),
+                                    0.2))
+    assert r_affine < 1e-3
+    assert r_affine <= r_aniso + 1e-6
+
+
 def _mk_cloud_pair(rng, n=1024):
     """A synthetic 'partial' (half of an ASYMMETRIC torus-ish shell) +
     its aligned 'complete' cloud.  The ring radius and tube radius both

@@ -183,6 +183,11 @@ def test_affine_icp_cancels_rotated_frame_anisotropy():
                                     0.2))
     assert r_affine < 1e-3
     assert r_affine <= r_aniso + 1e-6
+    # the batched dispatch (cfg.final_refine='affine') must vmap cleanly
+    from genpc_tpu.parallel.batched_runner import batched_similarity_refine
+    Tb = np.asarray(batched_similarity_refine(
+        jnp.asarray(src)[None], jnp.asarray(tgt)[None], mode="affine"))
+    assert resid(Tb[0]) < 1e-3
 
 
 def _mk_cloud_pair(rng, n=1024):

@@ -55,13 +55,13 @@ def quality(results):
             round(float(np.mean(emds)) * 100, 3) if emds else None)
 
 
-def _preflight_backend(timeout_s: int = 180) -> Optional[str]:
+def _preflight_backend(timeout_s: int = 180):
     """Probe the TPU backend in a bounded subprocess.
 
     jax.devices() blocks FOREVER when the axon tunnel relay is down
     (observed: relay process died mid-round, port 8113 closed) — a
     hang here would eat the whole bench run and record nothing.
-    Returns None when healthy, else a diagnostic string."""
+    Returns (None, platform) when healthy, else (diagnostic, None)."""
     import subprocess
     code = ("import jax; d = jax.devices(); "
             "print(jax.default_backend(), len(d))")
@@ -71,17 +71,35 @@ def _preflight_backend(timeout_s: int = 180) -> Optional[str]:
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return (f"jax.devices() hung >{timeout_s}s — TPU tunnel relay "
-                "unreachable (is the relay listening on :8113?)")
+                "unreachable (is the relay listening on :8113?)"), None
     if proc.returncode != 0:
-        return f"backend init failed: {proc.stderr[-300:]!r}"
-    return None
+        return f"backend init failed: {proc.stderr[-300:]!r}", None
+    return None, proc.stdout.strip()
+
+
+def _persist_artifact(payload: dict) -> None:
+    """Write the bench JSON to a machine-readable sidecar file.
+
+    VERDICT r3 weak #1: when the driver bench can't run, locally
+    validated runs must still exist as JSON artifacts, not STATUS.md
+    prose.  Successful runs always persist here (the driver's own run
+    simply overwrites with the same numbers); aborts never overwrite."""
+    round_tag = os.environ.get("GENPC_ROUND", "r04")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_local_{round_tag}.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"could not persist {path}: {e}", file=sys.stderr)
 
 
 def main():
     data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
     out_dir = os.environ.get("GENPC_BENCH_WS", "/tmp/genpc_bench_ws")
 
-    fail = _preflight_backend()
+    fail, platform = _preflight_backend()
     if fail is not None:
         print(json.dumps({
             "metric": "objects/min/chip end-to-end incl. full "
@@ -170,7 +188,9 @@ def main():
     # Subprocess-isolated like the Waymo section; first-ever run pays
     # multi-minute remote compiles (then cached in .jax_cache).
     neural_extra = None
-    if os.environ.get("GENPC_BENCH_NEURAL", "1") == "1":
+    on_tpu = platform is not None and platform.startswith(("tpu", "axon"))
+    if os.environ.get("GENPC_BENCH_NEURAL",
+                      "1" if on_tpu else "0") == "1":
         import subprocess
         here = os.path.dirname(os.path.abspath(__file__))
         try:
@@ -207,9 +227,33 @@ def main():
                                 "stage1_reg_fusion_metric": round(t_reg,
                                                                   2)},
                 "note": "per-object serial estimate; SDXL stands in for "
-                        "Qwen-Image (cannot fit one chip)"}
+                        "Qwen-Image (cannot fit one chip); superseded by "
+                        "config4_measured when present"}
         except (KeyError, TypeError):
             pass
+        # config-4 MEASURED as one pipeline (VERDICT r3 #3): run_batched
+        # with the full neural presets over >=4 objects, end to end
+        if neural_extra is not None:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(here, "bench_neural.py"),
+                     "config4"],
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("GENPC_CONFIG4_TIMEOUT",
+                                               "4800")),
+                    cwd=here)
+                print(proc.stderr[-2000:], file=sys.stderr)
+                line = proc.stdout.strip().splitlines()
+                neural_extra["config4_measured"] = (
+                    json.loads(line[-1]) if line else
+                    {"note": f"failed: rc={proc.returncode}, stderr "
+                             f"tail: {proc.stderr[-300:]!r}"})
+            except subprocess.TimeoutExpired:
+                neural_extra["config4_measured"] = {
+                    "note": "skipped: config4 subprocess timed out"}
+            except Exception as e:  # noqa: BLE001
+                neural_extra["config4_measured"] = {
+                    "note": f"skipped: {type(e).__name__}: {e}"}
 
     # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50).
     # FRESH random operands per timed call, median of 3: re-timing the
@@ -234,7 +278,7 @@ def main():
         times.append((time.time() - t0) * 1000.0)
     emd_ms = sorted(times)[len(times) // 2]
 
-    print(json.dumps({
+    payload = {
         "metric": "objects/min/chip end-to-end incl. full registration "
                   "stack (synthetic backends, redwood, CD+EMD eval, "
                   "object-batched)",
@@ -242,6 +286,8 @@ def main():
         "unit": "objects/min/chip",
         "vs_baseline": round(opm_reg / TARGET_OBJ_PER_MIN, 3),
         "extra": {
+            "platform": platform,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "avg_cd_x100": cd_reg, "avg_emd_x100": emd_reg,
             "objects": len(flags), "wall_s": round(wall, 1),
             "aligned_fast_path": {
@@ -254,10 +300,17 @@ def main():
             "waymo_lidar": waymo_extra,
             "neural_full_scale": neural_extra,
             "excluded": EXCLUDED_FLAGS,
+            # raw CD of each excluded object, so the exclusion stays
+            # auditable round over round (VERDICT r3 #8)
+            "excluded_raw_cd_x100": {
+                f: round(results[f]["cd"] * 100, 3)
+                for f in EXCLUDED_FLAGS if f in results},
             "vs_baseline_note": "ratio vs the 5 obj/min/chip TARGET "
                                 "(no measured reference-GPU number exists)",
         },
-    }))
+    }
+    _persist_artifact(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -174,6 +174,64 @@ def bench_instantmesh(steps: int = 75) -> dict:
     return out
 
 
+def bench_config4(n_objects: int = 4) -> dict:
+    """Config-4 measured as ONE pipeline, not a serial-sum estimate.
+
+    Runs run_batched with the full-size neural presets — SDXL ControlNet
+    standing in for Qwen-Image (20B bf16 cannot fit one chip; see
+    memory_notes) and InstantMesh — end-to-end over n_objects redwood
+    objects: stage1 -> 30-step 1024² depth-conditioned generation ->
+    image->3D (zero123plus 75 steps + LRM) -> full registration stack ->
+    fusion -> CD/EMD eval, in one process on one chip.  The stage
+    boundaries free each model's params before the next materializes
+    (batched_runner.run_batched), mirroring the reference's free_memory
+    between stages (reference: main_lidar.py:12-16, main.py:38-68).
+    """
+    import os
+    from genpc_tpu.categories import REDWOOD_FLAGS
+    from genpc_tpu.config import load_config
+    from genpc_tpu.parallel.batched_runner import run_batched
+
+    data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
+    flags = [f for f in REDWOOD_FLAGS
+             if os.path.exists(os.path.join(data_dir, f"{f}.ply"))
+             ][:n_objects]
+    cfg = load_config(
+        save=False, output_path="/tmp/genpc_config4_ws",
+        control_model="controlnet", generative_model="instantmesh",
+        rembg_model="synthetic", model_size="full",
+        trust_aligned_completion=False,
+        generate_res=1024, denoise_chunk=5, image23d_batch=2)
+    _log(f"config4: warm-up pass over {len(flags)} objects "
+         f"(pays every compile)")
+    t0 = time.time()
+    run_batched(cfg, flags, data_dir, verbose=False)
+    warm_s = time.time() - t0
+    _log(f"config4: warm-up {warm_s:.0f}s; timed pass...")
+    timings = {}
+    t0 = time.time()
+    results = run_batched(cfg, flags, data_dir, verbose=False,
+                          timings=timings)
+    wall = time.time() - t0
+    cds = [m["cd"] for m in results.values()]
+    return {
+        "preset": "config4_full_pipeline_measured",
+        "backends": "sdxl_controlnet(1024²,30step) + instantmesh(75step) "
+                    "+ full registration (SDXL stands in for Qwen-Image: "
+                    "20B bf16 cannot fit one chip)",
+        "objects": len(flags), "flags": flags,
+        "warmup_s_incl_compile": round(warm_s, 1),
+        "wall_s": round(wall, 1),
+        "obj_per_min_measured": round(len(flags) / wall * 60.0, 3),
+        "stage_walls_s": timings,
+        "avg_cd_x100_random_weights": round(
+            float(np.mean(cds)) * 100, 3) if cds else None,
+        "note": "random bf16 weights (zero-egress container) — compute "
+                "cost identical to pretrained; CD is meaningless here "
+                "and reported only to prove the metric stage ran",
+    }
+
+
 def memory_notes() -> dict:
     """FLUX/Qwen single-chip feasibility from exact parameter counts."""
     from genpc_tpu.models.checkpoint_specs import (
@@ -214,7 +272,11 @@ def memory_notes() -> dict:
 
 def _run_preset(name: str) -> dict:
     try:
-        return bench_sdxl() if name == "sdxl" else bench_instantmesh()
+        if name == "sdxl":
+            return bench_sdxl()
+        if name == "config4":
+            return bench_config4()
+        return bench_instantmesh()
     except Exception as e:  # noqa: BLE001
         return {"note": f"failed: {type(e).__name__}: {e}"}
 

@@ -541,8 +541,15 @@ def run_batched(cfg, flags: List[str], data_dir: str,
     _generate_images(cfg, dp, real_arts)
     for art in arts[n_real:]:
         art.image = real_arts[-1].image
+    # release the depth->image tower: its params are dead weight from here
+    # on, and at full preset scale (SDXL 3.9B + towers) they must leave
+    # HBM before the image-to-3D params materialize (the reference frees
+    # between stages for the same reason: main_lidar.py:12-16)
+    dp.depth2image = None
     mark("generate")
     sa.scale_adapter_batch(arts)
+    # same for the image-to-3D stack before the pose-optimization stage
+    sa.image23d = None
     mark("stage2")
 
     batch = batch or len(arts)
@@ -657,7 +664,9 @@ def run_batched_lidar(cfg, flags: List[str], data_dir: str, category: str,
     _generate_images(cfg, dp, real_arts)
     for art in arts[n_real:]:
         art.image = real_arts[-1].image
+    dp.depth2image = None   # stage-boundary frees, as in run_batched
     sa.scale_adapter_batch(arts)
+    sa.image23d = None
     batch = batch or len(arts)
     for i in range(0, len(arts), batch):
         batched_reg(cfg, arts[i:i + batch], mesh=mesh)

@@ -197,7 +197,7 @@ def main():
             proc = subprocess.run(
                 [sys.executable, os.path.join(here, "bench_neural.py")],
                 capture_output=True, text=True,
-                timeout=int(os.environ.get("GENPC_NEURAL_TIMEOUT", "3900")),
+                timeout=int(os.environ.get("GENPC_NEURAL_TIMEOUT", "7200")),
                 cwd=here)
             print(proc.stderr[-2000:], file=sys.stderr)
             line = proc.stdout.strip().splitlines()

@@ -115,6 +115,14 @@ DEFAULTS: Dict[str, Any] = dict(
     trust_aligned_completion=False,
     weights_dir=None,              # where pretrained safetensors live, if any
     model_size="tiny",             # generative model scale: tiny|base|full
+    # weight-only quantization for the DiT presets: None = auto (full-size
+    # flux -> int8, qwen -> int4, the single-chip deployment the reference
+    # gets from Nunchaku int4 — tools/qwen_depth.py:50-62), 0 = bf16
+    # (multi-chip tp), 8/4 = force int8/int4
+    quant_bits=None,
+    # same for the conditioning towers (T5-XXL / Qwen2.5-VL): None = auto
+    # (full-size towers int4 so they share the chip with the DiT)
+    tower_quant_bits=None,
     mesh_shape=None,               # e.g. {"dp": 8} for object parallelism
     # objects per image-to-3D device program (generate_meshes_batch);
     # 0 = the whole batch.  Bound it for full-size presets so the

@@ -111,6 +111,12 @@ def main(argv=None):
                     help="background removal backend (rmbg/synthetic)")
     ap.add_argument("--generative-model", default=None,
                     help="image->3D backend (instantmesh/trellis/synthetic)")
+    ap.add_argument("--model-size", default=None,
+                    help="generative preset scale (tiny/base/full)")
+    ap.add_argument("--quant-bits", type=int, default=None,
+                    help="weight-only DiT quantization: 0=bf16, 8=int8, "
+                         "4=int4 (default: auto — full flux int8 / qwen "
+                         "int4, the single-chip deployment)")
     ap.add_argument("--no-metric", action="store_true")
     ap.add_argument("--no-emd", action="store_true")
     ap.add_argument("--batched", action="store_true",
@@ -138,6 +144,10 @@ def main(argv=None):
         cfg.rembg_model = args.rembg_model
     if args.generative_model:
         cfg.generative_model = args.generative_model
+    if args.model_size:
+        cfg.model_size = args.model_size
+    if args.quant_bits is not None:
+        cfg.quant_bits = args.quant_bits
     if args.mesh:
         cfg.mesh_shape = {k: int(v) for k, v in
                           (kv.split("=") for kv in args.mesh.split(","))}

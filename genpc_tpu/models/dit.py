@@ -55,6 +55,11 @@ class DiTConfig:
     cond_mode: str = "channels"   # 'channels' (flux) | 'sequence' (qwen)
     axes_dim: Tuple[int, int, int] = (16, 56, 56)  # RoPE dims per axis
     theta: int = 10000
+    # weight-only quantization of every block matmul: 0 = bf16, 8 = int8
+    # (FLUX-12B fits one 16 GB v5e), 4 = int4 (Qwen-20B fits) — the TPU
+    # equivalent of the reference's Nunchaku int4 single-GPU deployment
+    # (reference: tools/qwen_depth.py:50-62, tools/flux_depth.py:12-30)
+    quant_bits: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -163,15 +168,22 @@ def _gelu_tanh(x):
     return nn.gelu(x, approximate=True)
 
 
-def _tp_dense(features: int, name: str, shard: str = "out") -> nn.Dense:
+def _tp_dense(features: int, name: str, shard: str = "out",
+              quant: int = 0, dtype=jnp.bfloat16) -> nn.Module:
     """Wide-kernel Dense with logical tp annotation: the 12B/20B presets
     only fit v5e chips tensor-parallel (bench_neural.memory_notes), so
     every attention/MLP kernel carries ("embed","tp") / ("tp","embed")
     axes that map onto a mesh via nn.logical_axis_rules
-    (parallel/mesh.py tp_sharded_dit_forward)."""
+    (parallel/mesh.py tp_sharded_dit_forward).  quant > 0 swaps in the
+    weight-only int8/int4 kernel (models/quant.py QuantDense), the
+    single-chip deployment path for the 12B/20B presets."""
+    if quant:
+        from genpc_tpu.models.quant import QuantDense
+        return QuantDense(features, bits=quant, name=name, shard=shard,
+                          dtype=dtype)
     axes = ("embed", "tp") if shard == "out" else ("tp", "embed")
     return nn.Dense(
-        features, dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name,
+        features, dtype=dtype, param_dtype=jnp.float32, name=name,
         kernel_init=nn.with_logical_partitioning(
             nn.initializers.lecun_normal(), axes))
 
@@ -189,7 +201,8 @@ class DoubleBlock(nn.Module):
         dh = cfg.head_dim
 
         def modulation(name):
-            out = nn.Dense(6 * d, dtype=jnp.float32, name=name)(
+            out = _tp_dense(6 * d, name, quant=cfg.quant_bits,
+                            dtype=jnp.float32)(
                 nn.silu(vec.astype(jnp.float32)))
             return jnp.split(out[:, None, :], 6, axis=-1)
 
@@ -204,7 +217,7 @@ class DoubleBlock(nn.Module):
 
         img_n = ln(img) * (1 + i_scale) + i_shift
         txt_n = ln(txt) * (1 + t_scale) + t_shift
-        dense = lambda n: _tp_dense(d, n)
+        dense = lambda n: _tp_dense(d, n, quant=cfg.quant_bits)
         qi = dense("attn_img_q")(img_n)
         ki = dense("attn_img_k")(img_n)
         vi = dense("attn_img_v")(img_n)
@@ -229,17 +242,19 @@ class DoubleBlock(nn.Module):
         v = jnp.concatenate([vt, vi], axis=1)
         att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
         att_t, att_i = att[:, :lt], att[:, lt:]
-        img = img + i_gate * _tp_dense(d, "attn_img_out", "in")(att_i)
-        txt = txt + t_gate * _tp_dense(d, "attn_txt_out", "in")(att_t)
+        img = img + i_gate * _tp_dense(
+            d, "attn_img_out", "in", quant=cfg.quant_bits)(att_i)
+        txt = txt + t_gate * _tp_dense(
+            d, "attn_txt_out", "in", quant=cfg.quant_bits)(att_t)
 
         img_n = ln(img) * (1 + i_scale2) + i_shift2
-        h = _tp_dense(4 * d, "img_mlp_in")(img_n)
-        img = img + i_gate2 * _tp_dense(d, "img_mlp_out",
-                                        "in")(_gelu_tanh(h))
+        h = _tp_dense(4 * d, "img_mlp_in", quant=cfg.quant_bits)(img_n)
+        img = img + i_gate2 * _tp_dense(
+            d, "img_mlp_out", "in", quant=cfg.quant_bits)(_gelu_tanh(h))
         txt_n = ln(txt) * (1 + t_scale2) + t_shift2
-        h = _tp_dense(4 * d, "txt_mlp_in")(txt_n)
-        txt = txt + t_gate2 * _tp_dense(d, "txt_mlp_out",
-                                        "in")(_gelu_tanh(h))
+        h = _tp_dense(4 * d, "txt_mlp_in", quant=cfg.quant_bits)(txt_n)
+        txt = txt + t_gate2 * _tp_dense(
+            d, "txt_mlp_out", "in", quant=cfg.quant_bits)(_gelu_tanh(h))
         return img, txt
 
 
@@ -252,14 +267,15 @@ class SingleBlock(nn.Module):
     def __call__(self, x, vec, cos, sin, mask=None):
         cfg = self.cfg
         d = cfg.hidden_dim
-        mod = nn.Dense(3 * d, dtype=jnp.float32, name="mod")(
+        mod = _tp_dense(3 * d, "mod", quant=cfg.quant_bits,
+                        dtype=jnp.float32)(
             nn.silu(vec.astype(jnp.float32)))
         shift, scale, gate = jnp.split(mod[:, None, :], 3, axis=-1)
         xn = nn.LayerNorm(use_bias=False, use_scale=False,
                           dtype=jnp.float32)(x) * (1 + scale) + shift
-        q = _tp_dense(d, "to_q")(xn)
-        k = _tp_dense(d, "to_k")(xn)
-        v = _tp_dense(d, "to_v")(xn)
+        q = _tp_dense(d, "to_q", quant=cfg.quant_bits)(xn)
+        k = _tp_dense(d, "to_k", quant=cfg.quant_bits)(xn)
+        v = _tp_dense(d, "to_v", quant=cfg.quant_bits)(xn)
         dh = cfg.head_dim
         b, t, _ = q.shape
 
@@ -270,8 +286,9 @@ class SingleBlock(nn.Module):
         q = headnorm(q, "norm_q")
         k = headnorm(k, "norm_k")
         att = _attention(q, k, v, cfg.num_heads, cos, sin, mask)
-        mlp = _gelu_tanh(_tp_dense(4 * d, "proj_mlp")(xn))
-        out = _tp_dense(d, "proj_out", "in")(
+        mlp = _gelu_tanh(_tp_dense(4 * d, "proj_mlp",
+                                   quant=cfg.quant_bits)(xn))
+        out = _tp_dense(d, "proj_out", "in", quant=cfg.quant_bits)(
             jnp.concatenate([att, mlp], axis=-1))
         return x + gate * out
 

@@ -63,31 +63,53 @@ def _pad_tokens(ctx: np.ndarray, budget: int):
     return out, mask
 
 
+def _default_quant_bits(variant: str, full: bool, qb) -> int:
+    """Single-chip default for the full presets: FLUX-12B int8 (~12 GB),
+    Qwen-20B int4 (~10 GB) fit one 16 GB v5e — the reference deploys both
+    int4 on one GPU (reference: tools/flux_depth.py:12-30,
+    tools/qwen_depth.py:50-62).  Pass quant_bits=0 for the bf16
+    multi-chip tensor-parallel path; tiny/base presets default to bf16."""
+    if qb is not None:
+        return int(qb)
+    if full:
+        return 8 if variant == "flux" else 4
+    return 0
+
+
 class DiTDepthEdit:
     def __init__(self, cfg=None, variant: str = "qwen", seed: int = 0):
         self.cfg = cfg or {}
         self.variant = variant
         size = (cfg.get("model_size", "tiny") if cfg else "tiny")
         self.full = size == "full"
+        qb = _default_quant_bits(variant, self.full,
+                                 cfg.get("quant_bits") if cfg else None)
         if self.full:
-            self.dit_cfg = DiTConfig.preset(variant)
+            base = DiTConfig.preset(variant)
         else:
-            self.dit_cfg = DiTConfig.preset(
+            base = DiTConfig.preset(
                 "tiny_qwen" if variant == "qwen" else "tiny")
+        import dataclasses
+        self.dit_cfg = dataclasses.replace(base, quant_bits=qb)
         self.vae_cfg = VAEConfig.preset("tiny" if not self.full else "flux")
         self.factor = self.vae_cfg.spatial_factor
         self.model = MMDiT(self.dit_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
         weights_dir = self.cfg.get("weights_dir")
+        # towers default to int4 at full size (their ctors decide) so the
+        # whole preset shares one chip; override via tower_quant_bits
+        tqb = self.cfg.get("tower_quant_bits") if cfg else None
         if variant == "qwen":
             from genpc_tpu.models.qwen_vl import QwenVLEncoder
             self.vl = QwenVLEncoder("full" if self.full else "tiny",
-                                    weights_dir=weights_dir)
+                                    weights_dir=weights_dir,
+                                    quant_bits=tqb)
             self.txt_budget = 512 if self.full else 160
         else:
             from genpc_tpu.models.t5 import T5PromptEncoder
             self.t5 = T5PromptEncoder("full" if self.full else "tiny",
-                                      weights_dir=weights_dir)
+                                      weights_dir=weights_dir,
+                                      quant_bits=tqb)
             self.txt_budget = None    # T5 encodes at fixed length already
         self.rng = jax.random.PRNGKey(seed)
         # defaults per variant (reference settings)
@@ -115,7 +137,8 @@ class DiTDepthEdit:
         weights_dir = self.cfg.get("weights_dir") if self.cfg else None
         if weights_dir:
             from genpc_tpu.models.weights import load_dit
-            params = load_dit(weights_dir, params, self.variant)
+            params = load_dit(weights_dir, params, self.variant,
+                              quant_bits=self.dit_cfg.quant_bits)
         return params
 
     # ------------------------------------------------------------ prompts
@@ -150,19 +173,9 @@ class DiTDepthEdit:
         return ctx, None, None, None, pooled
 
     # ------------------------------------------------------------ sampler
-    @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample(self, params, cond_img, txt, txt_mask, txt_neg,
-                txt_neg_mask, pooled, rng, steps: int, guidance: float):
-        b = cond_img.shape[0]
-        sched = FlowMatchEuler(steps)
-        cond_lat = self.vae.apply(params["vae"], cond_img,
-                                  method=AutoencoderKL.encode)
-        if cond_lat.shape[-1] != self.dit_cfg.cond_channels:
-            reps = -(-self.dit_cfg.cond_channels // cond_lat.shape[-1])
-            cond_lat = jnp.tile(cond_lat, (1, 1, 1, reps)
-                                )[..., :self.dit_cfg.cond_channels]
-        lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
-        latents = jax.random.normal(rng, lat_shape)
+    def _make_body(self, params, cond_lat, txt, txt_mask, txt_neg,
+                   txt_neg_mask, pooled, sched, guidance):
+        b = cond_lat.shape[0]
         g = jnp.full((b,), guidance, jnp.float32)
 
         def body(i, latents):
@@ -179,7 +192,54 @@ class DiTDepthEdit:
                 v = v_c
             return sched.step(v, i, latents)
 
+        return body
+
+    def _cond_latents(self, params, cond_img):
+        cond_lat = self.vae.apply(params["vae"], cond_img,
+                                  method=AutoencoderKL.encode)
+        if cond_lat.shape[-1] != self.dit_cfg.cond_channels:
+            reps = -(-self.dit_cfg.cond_channels // cond_lat.shape[-1])
+            cond_lat = jnp.tile(cond_lat, (1, 1, 1, reps)
+                                )[..., :self.dit_cfg.cond_channels]
+        return cond_lat
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _sample(self, params, cond_img, txt, txt_mask, txt_neg,
+                txt_neg_mask, pooled, rng, steps: int, guidance: float):
+        sched = FlowMatchEuler(steps)
+        cond_lat = self._cond_latents(params, cond_img)
+        lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
+        latents = jax.random.normal(rng, lat_shape)
+        body = self._make_body(params, cond_lat, txt, txt_mask, txt_neg,
+                               txt_neg_mask, pooled, sched, guidance)
         latents = jax.lax.fori_loop(0, steps, body, latents)
+        img = self.vae.apply(params["vae"], latents,
+                             method=AutoencoderKL.decode)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    # --- host-chunked variant (full-scale presets: keeps every device
+    # execution under the tunnel watchdog's ~1 min; identical math to
+    # _sample — same pattern as controlnet_depth._denoise_chunk)
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _sample_prep(self, params, cond_img, rng):
+        cond_lat = self._cond_latents(params, cond_img)
+        lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
+        return cond_lat, jax.random.normal(rng, lat_shape)
+
+    @functools.partial(jax.jit, static_argnames=("self", "steps"),
+                       donate_argnums=(2,))   # donate latents (0 = self)
+    def _sample_chunk(self, params, latents, cond_lat, txt, txt_mask,
+                      txt_neg, txt_neg_mask, pooled, lo, hi, steps: int,
+                      guidance: float):
+        """lo/hi are TRACED (fori_loop lowers to while_loop): every
+        host-chunked segment shares ONE executable."""
+        sched = FlowMatchEuler(steps)
+        body = self._make_body(params, cond_lat, txt, txt_mask, txt_neg,
+                               txt_neg_mask, pooled, sched, guidance)
+        return jax.lax.fori_loop(lo, hi, body, latents)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode(self, params, latents):
         img = self.vae.apply(params["vae"], latents,
                              method=AutoencoderKL.decode)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
@@ -216,9 +276,23 @@ class DiTDepthEdit:
         txt, mask, neg, nmask, pooled = self._encode_prompts(cats, depths01)
         steps = num_inference_steps or self.steps
         self.rng, k = jax.random.split(self.rng)
-        img = self._sample(self._params, jnp.asarray(depths01 * 2 - 1),
-                           txt, mask, neg, nmask, pooled, k, steps,
-                           self.guidance)
+        cond = jnp.asarray(depths01 * 2 - 1)
+        chunk = int(self.cfg.get("denoise_chunk", 0) or 0) if self.cfg \
+            else 0
+        if chunk:
+            cond_lat, latents = self._sample_prep(self._params, cond, k)
+            lo = 0
+            while lo < steps:
+                hi = min(lo + chunk, steps)
+                latents = self._sample_chunk(
+                    self._params, latents, cond_lat, txt, mask, neg,
+                    nmask, pooled, jnp.int32(lo), jnp.int32(hi), steps,
+                    self.guidance)
+                lo = hi
+            img = self._decode(self._params, latents)
+        else:
+            img = self._sample(self._params, cond, txt, mask, neg, nmask,
+                               pooled, k, steps, self.guidance)
         return np.asarray(img)
 
     def generate(self, depth, category_or_flag: str, size: int = 512,

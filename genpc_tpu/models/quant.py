@@ -1,0 +1,200 @@
+"""Weight-only int8/int4 quantized execution for the big DiT presets.
+
+The reference runs its two default depth->image backends on ONE consumer
+GPU via Nunchaku int4 quantization plus sequential CPU offload
+(reference: tools/qwen_depth.py:50-62 — int4 QwenImageEditPlus 20B;
+tools/flux_depth.py:12-30 — int4 FLUX.1-Depth-dev 12B + int4 T5).  The
+TPU-native equivalent here is weight-only quantization with
+dequantize-in-matmul:
+
+* weights live in HBM as int8 (or int4) with one fp32 scale per output
+  channel — 2x/4x smaller than bf16, so FLUX-12B (~12 GB int8) and
+  Qwen-20B (~10 GB int4) fit a single 16 GB v5e chip;
+* each matmul converts ONLY its own kernel to bf16 inside the layer
+  (y = (x @ q.astype(bf16)) * scale), so the transient dequantized copy
+  is one layer's kernel (<= ~75 MB), never the whole model — the XLA
+  buffer is freed after the dot;
+* the MXU consumes the converted operand exactly like a bf16 matmul:
+  no scalar loops, static shapes, fp32 accumulation via
+  preferred_element_type.
+
+int4 storage uses jnp.int4 (XLA packs two values per byte on TPU).
+Symmetric per-output-channel absmax quantization: q = round(w/s),
+s = max|w|/Qmax per column — the standard weight-only scheme; activations
+stay bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.core import meta as flax_meta
+
+_QMAX = {8: 127, 4: 7}
+_QDTYPE = {8: jnp.int8, 4: jnp.int4}
+
+
+def quantize_array(w: jnp.ndarray, bits: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric quantization of a [in, out] kernel.
+
+    Returns (q [in,out] int8/int4, scale [out] f32) with
+    dequant(q, s) = q * s[None, :].
+    """
+    qmax = _QMAX[bits]
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / qmax, 1e-12)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -qmax, qmax)
+    return q.astype(_QDTYPE[bits]), scale.astype(jnp.float32)
+
+
+def dequantize_array(q: jnp.ndarray, scale: jnp.ndarray,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    return q.astype(dtype) * scale.astype(dtype)[None, :]
+
+
+def _int_kernel_init(bits: int, axes):
+    """Random init directly in the quantized representation.
+
+    Draws a unit normal and discretizes at 3-sigma full scale; together
+    with _scale_init the dequantized kernel reproduces lecun-normal
+    statistics (std 1/sqrt(in_dim)), so random-weight benches behave
+    like the bf16 path.  Carries the same logical partitioning axes as
+    the bf16 kernels so tp sharding still applies.
+    """
+    qmax = _QMAX[bits]
+
+    def init(key, shape, dtype):
+        w = jax.random.normal(key, shape, jnp.float32)
+        q = jnp.clip(jnp.round(w * (qmax / 3.0)), -qmax, qmax)
+        return q.astype(dtype)
+
+    return nn.with_logical_partitioning(init, axes)
+
+
+class QuantDense(nn.Module):
+    """Dense with an int8/int4 kernel and per-output-channel f32 scale.
+
+    y = (x @ kernel.astype(compute_dtype)) * scale + bias — the scale is
+    applied AFTER the matmul (mathematically identical for symmetric
+    per-column scales, and the dequant stays a pure convert the TPU
+    fuses into the MXU operand load).
+    """
+    features: int
+    bits: int = 8
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16    # activation/compute dtype
+    shard: str = "out"           # 'out' | 'in' tp-sharded kernel dim
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        axes = ("embed", "tp") if self.shard == "out" else ("tp", "embed")
+        kernel = self.param("kernel", _int_kernel_init(self.bits, axes),
+                            (in_dim, self.features), _QDTYPE[self.bits])
+        qmax = _QMAX[self.bits]
+        scale = self.param(
+            "scale",
+            lambda key, shape, dtype: jnp.full(
+                shape, 3.0 / (qmax * np.sqrt(in_dim)), dtype),
+            (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def quantize_tree(params: Dict[str, Any], bits: int,
+                  select) -> Dict[str, Any]:
+    """Quantize selected 2D 'kernel' leaves of a full-precision tree.
+
+    select(path_tuple) -> bool decides which module dicts quantize; the
+    kernel is replaced in place by its int representation and a sibling
+    'scale' is added (the exact structure QuantDense expects).  Biases
+    and every non-selected leaf pass through unchanged.  Logical-
+    partitioning metadata boxes are stripped (apply accepts plain
+    arrays; the quantized single-chip path never reshards params).
+    """
+    params = flax_meta.unbox(params)
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
+                    and select(path)):
+                q, s = quantize_array(v, bits)
+                out["kernel"] = q
+                out["scale"] = s
+            else:
+                out[k] = walk(v, path + (k,))
+        return out
+
+    return walk(params, ())
+
+
+def fp_template_like(qtree: Dict[str, Any]) -> Dict[str, Any]:
+    """Full-precision structural template for a quantized tree.
+
+    Wherever a module dict holds an int 'kernel' with a sibling 'scale',
+    the pair collapses to one f32 zeros kernel — the structure a
+    checkpoint converter grafts into; quantize_tree() then reproduces
+    the quantized structure from the grafted values."""
+    qtree = flax_meta.unbox(qtree)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if ("kernel" in node and "scale" in node
+                and hasattr(node["kernel"], "dtype")
+                and jnp.issubdtype(node["kernel"].dtype, jnp.integer)):
+            out = {k: walk(v) for k, v in node.items() if k != "scale"}
+            out["kernel"] = np.zeros(node["kernel"].shape, np.float32)
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(qtree)
+
+
+def dit_block_select(path: Tuple[str, ...]) -> bool:
+    """Quantization domain for MMDiT: every matmul inside the
+    double-/single-stream blocks (attention qkv/out, MLPs, AdaLN
+    modulation).  Embedders, norms and the output head stay bf16/f32 —
+    together <1% of parameters."""
+    return any(p.startswith(("double_", "single_")) for p in path)
+
+
+def t5_block_select(path: Tuple[str, ...]) -> bool:
+    """Quantization domain for the T5 encoder stack: the q/k/v/o and
+    wi/wo kernels inside the layer blocks (reference runs the FLUX T5
+    int4: tools/flux_depth.py:21-27)."""
+    return any(p.startswith("block_") or p == "block" for p in path)
+
+
+def vl_block_select(path: Tuple[str, ...]) -> bool:
+    """Quantization domain for Qwen2.5-VL: text layers_* and vision
+    blocks_* matmuls; embeddings, merger and norms stay bf16."""
+    return any(p.startswith(("layers_", "blocks_")) for p in path)
+
+
+def tree_bytes(params) -> int:
+    """On-device bytes of a parameter tree (int4 counted at 0.5 B)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        n = int(np.prod(leaf.shape))
+        if str(leaf.dtype) == "int4":
+            total += n // 2
+        else:
+            total += n * leaf.dtype.itemsize
+    return total

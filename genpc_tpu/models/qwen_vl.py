@@ -69,6 +69,11 @@ class QwenVLConfig:
     window: int = 112            # pixels; window cells = window/merge/patch
     fullatt_blocks: Tuple[int, ...] = (7, 15, 23, 31)
     vit_theta: float = 10000.0
+    # weight-only quantization of the text/vision block matmuls: the
+    # 8.3B tower must share one 16 GB v5e with the int4 20B DiT
+    # (int4 ~4.2 GB; the reference offloads the whole pipeline to one
+    # GPU via Nunchaku int4 + sequential offload, tools/qwen_depth.py)
+    quant_bits: int = 0
 
     @property
     def window_cells(self) -> int:
@@ -85,6 +90,17 @@ class QwenVLConfig:
         if name == "full":
             return cls()
         raise ValueError(name)
+
+
+def _vl_dense(cfg: "QwenVLConfig", features: int, name: str,
+              use_bias: bool = True) -> nn.Module:
+    """Block matmul: bf16 Dense, or weight-only int8/int4 QuantDense."""
+    if cfg.quant_bits:
+        from genpc_tpu.models.quant import QuantDense
+        return QuantDense(features, bits=cfg.quant_bits, use_bias=use_bias,
+                          name=name, dtype=jnp.bfloat16)
+    return nn.Dense(features, use_bias=use_bias, dtype=jnp.bfloat16,
+                    name=name)
 
 
 # --------------------------------------------------------------- M-RoPE
@@ -134,9 +150,9 @@ class QwenTextLayer(nn.Module):
         hd = cfg.head_dim
         h = RMSNorm(cfg.hidden, cfg.eps, name="attn_norm")(x)
         b, L, _ = x.shape
-        q = nn.Dense(cfg.heads * hd, dtype=jnp.bfloat16, name="q")(h)
-        k = nn.Dense(cfg.kv_heads * hd, dtype=jnp.bfloat16, name="k")(h)
-        v = nn.Dense(cfg.kv_heads * hd, dtype=jnp.bfloat16, name="v")(h)
+        q = _vl_dense(cfg, cfg.heads * hd, "q")(h)
+        k = _vl_dense(cfg, cfg.kv_heads * hd, "k")(h)
+        v = _vl_dense(cfg, cfg.kv_heads * hd, "v")(h)
         q = q.reshape(b, L, cfg.heads, hd)
         k = k.reshape(b, L, cfg.kv_heads, hd)
         v = v.reshape(b, L, cfg.kv_heads, hd)
@@ -149,15 +165,12 @@ class QwenTextLayer(nn.Module):
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v,
             mask=mask)
         att = att.reshape(b, L, cfg.heads * hd)
-        x = x + nn.Dense(cfg.hidden, use_bias=False, dtype=jnp.bfloat16,
-                         name="o")(att)
+        x = x + _vl_dense(cfg, cfg.hidden, "o", use_bias=False)(att)
         h = RMSNorm(cfg.hidden, cfg.eps, name="mlp_norm")(x)
-        g = nn.Dense(cfg.intermediate, use_bias=False, dtype=jnp.bfloat16,
-                     name="gate")(h)
-        u = nn.Dense(cfg.intermediate, use_bias=False, dtype=jnp.bfloat16,
-                     name="up")(h)
-        return x + nn.Dense(cfg.hidden, use_bias=False, dtype=jnp.bfloat16,
-                            name="down")(nn.silu(g) * u)
+        g = _vl_dense(cfg, cfg.intermediate, "gate", use_bias=False)(h)
+        u = _vl_dense(cfg, cfg.intermediate, "up", use_bias=False)(h)
+        return x + _vl_dense(cfg, cfg.hidden, "down",
+                             use_bias=False)(nn.silu(g) * u)
 
 
 class QwenVLTextModel(nn.Module):
@@ -239,7 +252,7 @@ class QwenVisionBlock(nn.Module):
         hd = d // cfg.vit_heads
         S = x.shape[0]
         h = RMSNorm(d, cfg.eps, name="norm1")(x)
-        qkv = nn.Dense(3 * d, dtype=jnp.bfloat16, name="qkv")(h)
+        qkv = _vl_dense(cfg, 3 * d, "qkv")(h)
         q, k, v = jnp.split(qkv.reshape(S, 3, cfg.vit_heads, hd), 3, axis=1)
         nb = S // window_len
         shape = (nb, window_len, cfg.vit_heads, hd)
@@ -251,12 +264,11 @@ class QwenVisionBlock(nn.Module):
             q.reshape(shape).astype(jnp.bfloat16),
             k.reshape(shape).astype(jnp.bfloat16), v.reshape(shape))
         att = att.reshape(S, d)
-        x = x + nn.Dense(d, dtype=jnp.bfloat16, name="proj")(att)
+        x = x + _vl_dense(cfg, d, "proj")(att)
         h = RMSNorm(d, cfg.eps, name="norm2")(x)
-        g = nn.Dense(cfg.vit_ffn, dtype=jnp.bfloat16, name="gate")(h)
-        u = nn.Dense(cfg.vit_ffn, dtype=jnp.bfloat16, name="up")(h)
-        return x + nn.Dense(d, dtype=jnp.bfloat16,
-                            name="down")(nn.silu(g) * u)
+        g = _vl_dense(cfg, cfg.vit_ffn, "gate")(h)
+        u = _vl_dense(cfg, cfg.vit_ffn, "up")(h)
+        return x + _vl_dense(cfg, d, "down")(nn.silu(g) * u)
 
 
 class QwenVisionModel(nn.Module):
@@ -341,8 +353,17 @@ class QwenVLEncoder:
 
     def __init__(self, size: str = "tiny", rng_seed: int = 0,
                  weights_dir: Optional[str] = None,
-                 vision_px: int = 392):
-        self.cfg = QwenVLConfig.preset(size)
+                 vision_px: int = 392,
+                 quant_bits: Optional[int] = None):
+        import dataclasses
+        if quant_bits is None:
+            # full-size default int4 (~4.2 GB): the 8.3B tower must share
+            # one 16 GB v5e with the int4 20B DiT — the reference's
+            # single-GPU Qwen deployment is likewise fully int4-quantized
+            # (tools/qwen_depth.py:50-62)
+            quant_bits = 4 if size == "full" else 0
+        self.cfg = dataclasses.replace(QwenVLConfig.preset(size),
+                                       quant_bits=int(quant_bits))
         self.vision_px = vision_px if size == "full" else 16
         self.text = QwenVLTextModel(self.cfg)
         self.vision = QwenVisionModel(self.cfg)
@@ -365,7 +386,8 @@ class QwenVLEncoder:
         if weights_dir:
             from genpc_tpu.models.weights import load_qwen_vl
             self.params_text, self.params_vision = load_qwen_vl(
-                weights_dir, self.params_text, self.params_vision)
+                weights_dir, self.params_text, self.params_vision,
+                quant_bits=self.cfg.quant_bits)
         self._run_text = jax.jit(
             lambda p, emb, pos: self.text.apply(p, None, pos,
                                                 inputs_embeds=emb))

@@ -45,6 +45,11 @@ class T5Config:
     rel_buckets: int = 32
     rel_max_distance: int = 128
     layer_norm_eps: float = 1e-6
+    # weight-only quantization of the block matmuls (q/k/v/o, wi/wo):
+    # the reference runs the FLUX T5 int4 on one GPU
+    # (tools/flux_depth.py:21-27); int4 (~2.4 GB) lets T5-XXL share one
+    # 16 GB v5e with the int8 FLUX transformer
+    quant_bits: int = 0
 
     @classmethod
     def preset(cls, name: str) -> "T5Config":
@@ -91,6 +96,15 @@ def t5_relative_buckets(qlen: int, klen: int, num_buckets: int,
     return out
 
 
+def _t5_dense(cfg: "T5Config", features: int, name: str) -> nn.Module:
+    """Block matmul: bf16 Dense, or weight-only int8/int4 QuantDense."""
+    if cfg.quant_bits:
+        from genpc_tpu.models.quant import QuantDense
+        return QuantDense(features, bits=cfg.quant_bits, use_bias=False,
+                          name=name, dtype=jnp.bfloat16)
+    return nn.Dense(features, use_bias=False, dtype=jnp.bfloat16, name=name)
+
+
 class T5SelfAttention(nn.Module):
     cfg: T5Config
 
@@ -98,9 +112,9 @@ class T5SelfAttention(nn.Module):
     def __call__(self, x, pos_bias, mask):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        q = nn.Dense(inner, use_bias=False, dtype=jnp.bfloat16, name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=jnp.bfloat16, name="k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=jnp.bfloat16, name="v")(x)
+        q = _t5_dense(cfg, inner, "q")(x)
+        k = _t5_dense(cfg, inner, "k")(x)
+        v = _t5_dense(cfg, inner, "v")(x)
         b, L, _ = x.shape
         split = lambda a: a.reshape(b, L, cfg.num_heads, cfg.d_kv
                                     ).transpose(0, 2, 1, 3)
@@ -113,8 +127,7 @@ class T5SelfAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(jnp.bfloat16),
                          split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, L, inner)
-        return nn.Dense(cfg.d_model, use_bias=False, dtype=jnp.bfloat16,
-                        name="o")(out)
+        return _t5_dense(cfg, cfg.d_model, "o")(out)
 
 
 class T5Block(nn.Module):
@@ -128,13 +141,10 @@ class T5Block(nn.Module):
         x = x + T5SelfAttention(cfg, name="attn")(h, pos_bias, mask)
         h = T5LayerNorm(cfg.d_model, cfg.layer_norm_eps, name="ff_norm")(x)
         # v1.1 gated-gelu: wo(gelu_new(wi_0(h)) * wi_1(h))
-        g = nn.Dense(cfg.d_ff, use_bias=False, dtype=jnp.bfloat16,
-                     name="wi_0")(h)
-        u = nn.Dense(cfg.d_ff, use_bias=False, dtype=jnp.bfloat16,
-                     name="wi_1")(h)
+        g = _t5_dense(cfg, cfg.d_ff, "wi_0")(h)
+        u = _t5_dense(cfg, cfg.d_ff, "wi_1")(h)
         h = nn.gelu(g, approximate=True) * u
-        return x + nn.Dense(cfg.d_model, use_bias=False, dtype=jnp.bfloat16,
-                            name="wo")(h)
+        return x + _t5_dense(cfg, cfg.d_model, "wo")(h)
 
 
 class T5Encoder(nn.Module):
@@ -216,11 +226,20 @@ class T5PromptEncoder:
     """
 
     def __init__(self, size: str = "tiny", rng_seed: int = 0,
-                 weights_dir: Optional[str] = None, max_len: int = 512):
+                 weights_dir: Optional[str] = None, max_len: int = 512,
+                 quant_bits: Optional[int] = None):
         from genpc_tpu.models.text_encoder import (CLIPTextConfig,
                                                    CLIPTextModel,
                                                    make_tokenizer)
-        self.cfg = T5Config.preset("xxl" if size == "full" else "tiny")
+        import dataclasses
+        if quant_bits is None:
+            # full-size default int4 (~2.4 GB): T5-XXL must share one
+            # 16 GB v5e with the int8 FLUX transformer; the reference
+            # runs this tower int4 too (tools/flux_depth.py:21-27)
+            quant_bits = 4 if size == "full" else 0
+        self.cfg = dataclasses.replace(
+            T5Config.preset("xxl" if size == "full" else "tiny"),
+            quant_bits=int(quant_bits))
         self.cfg_l = CLIPTextConfig.preset(
             "clip_l" if size == "full" else "tiny")
         self.max_len = max_len if size == "full" else 32
@@ -243,7 +262,8 @@ class T5PromptEncoder:
         if weights_dir:
             from genpc_tpu.models.weights import load_t5_and_clip_l
             self.params, self.params_l = load_t5_and_clip_l(
-                weights_dir, self.params, self.params_l)
+                weights_dir, self.params, self.params_l,
+                quant_bits=self.cfg.quant_bits)
         # params as arguments (closures bake ~9.6 GB of T5-XXL weights
         # into the executable as constants at full scale)
         self._encode = jax.jit(self._encode_impl)

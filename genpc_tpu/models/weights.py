@@ -387,18 +387,35 @@ def convert_qwen_vl(tensors: Dict[str, np.ndarray]
     return text, vision
 
 
-def load_qwen_vl(weights_dir: str, params_text, params_vision):
+def load_qwen_vl(weights_dir: str, params_text, params_vision,
+                 quant_bits: int = 0):
     """Graft Qwen2.5-VL (strict): <weights_dir>/text_encoder holds the
     Qwen2_5_VLForConditionalGeneration safetensors (reference runtime:
-    tools/qwen_depth.py:55-57 QwenImageEditPlusPipeline.from_pretrained)."""
+    tools/qwen_depth.py:55-57 QwenImageEditPlusPipeline.from_pretrained).
+
+    quant_bits > 0: params are the QUANTIZED structure; the checkpoint
+    grafts into full-precision templates and is weight-only-quantized
+    (models/quant.py), mirroring the reference's Nunchaku int4 load."""
     p = os.path.join(weights_dir, "text_encoder")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
         text, vision = convert_qwen_vl(tensors)
-        params_text = graft_weights(params_text, text, {}, "qwen-vl-text",
-                                    strict=True)
-        params_vision = graft_weights(params_vision, vision, {},
-                                      "qwen-vl-vision", strict=True)
+        if quant_bits:
+            from genpc_tpu.models.quant import (fp_template_like,
+                                                quantize_tree,
+                                                vl_block_select)
+            fp_t = graft_weights(fp_template_like(params_text), text, {},
+                                 "qwen-vl-text", strict=True)
+            fp_v = graft_weights(fp_template_like(params_vision), vision,
+                                 {}, "qwen-vl-vision", strict=True)
+            params_text = quantize_tree(fp_t, quant_bits, vl_block_select)
+            params_vision = quantize_tree(fp_v, quant_bits,
+                                          vl_block_select)
+        else:
+            params_text = graft_weights(params_text, text, {},
+                                        "qwen-vl-text", strict=True)
+            params_vision = graft_weights(params_vision, vision, {},
+                                          "qwen-vl-vision", strict=True)
     return params_text, params_vision
 
 
@@ -438,15 +455,30 @@ def convert_t5(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {t5_name_to_flax(k): v for k, v in tensors.items()}
 
 
-def load_t5_and_clip_l(weights_dir: str, params_t5, params_l):
+def load_t5_and_clip_l(weights_dir: str, params_t5, params_l,
+                       quant_bits: int = 0):
     """Graft the FLUX text towers (strict): <weights_dir>/text_encoder_2
-    (T5-XXL) + <weights_dir>/text_encoder (CLIP-L)."""
+    (T5-XXL) + <weights_dir>/text_encoder (CLIP-L).
+
+    quant_bits > 0 treats params_t5 as the QUANTIZED structure: the
+    checkpoint grafts into a full-precision template and is then
+    weight-only-quantized (the reference loads an int4 T5 the same way,
+    tools/flux_depth.py:21-27)."""
     p = os.path.join(weights_dir, "text_encoder_2")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
         tensors.pop("encoder.embed_tokens.weight", None)  # tied duplicate
-        params_t5 = graft_weights(params_t5, convert_t5(tensors), {},
-                                  "t5-xxl", strict=True)
+        if quant_bits:
+            from genpc_tpu.models.quant import (fp_template_like,
+                                                quantize_tree,
+                                                t5_block_select)
+            fp = fp_template_like(params_t5)
+            fp = graft_weights(fp, convert_t5(tensors), {}, "t5-xxl",
+                               strict=True)
+            params_t5 = quantize_tree(fp, quant_bits, t5_block_select)
+        else:
+            params_t5 = graft_weights(params_t5, convert_t5(tensors), {},
+                                      "t5-xxl", strict=True)
     p = os.path.join(weights_dir, "text_encoder")
     if os.path.isdir(p):
         tensors = _load_safetensors_dir(p)
@@ -588,13 +620,18 @@ def load_sdxl_controlnet(weights_dir: str, params):
     return params
 
 
-def load_dit(weights_dir: str, params, variant: str):
+def load_dit(weights_dir: str, params, variant: str, quant_bits: int = 0):
     """Graft a FLUX/Qwen transformer checkpoint (strict).
 
     Layout: <weights_dir>/<variant>/*.safetensors with the diffusers
     FluxTransformer2DModel / QwenImageTransformer2DModel state-dict keys
     (reference runtime loads: tools/flux_depth.py:12-30 FLUX.1-Depth-dev;
     tools/qwen_depth.py:50-62 Qwen-Image-Edit).
+
+    quant_bits > 0: ``params['dit']`` is the QUANTIZED structure
+    (models/quant.py); the checkpoint grafts into a full-precision
+    template and is then weight-only-quantized to int8/int4 — the TPU
+    equivalent of loading the reference's Nunchaku int4 build.
     """
     p = os.path.join(weights_dir, variant)
     if os.path.isdir(p):
@@ -607,8 +644,16 @@ def load_dit(weights_dir: str, params, variant: str):
             params["dit"] = graft_weights(params["dit"], tensors,
                                           _SDXL_RENAMES, variant)
             return params
-        params["dit"] = graft_weights(params["dit"], converted, {},
-                                      variant, strict=True)
+        if quant_bits:
+            from genpc_tpu.models.quant import (dit_block_select,
+                                                fp_template_like,
+                                                quantize_tree)
+            fp = fp_template_like(params["dit"])
+            fp = graft_weights(fp, converted, {}, variant, strict=True)
+            params["dit"] = quantize_tree(fp, quant_bits, dit_block_select)
+        else:
+            params["dit"] = graft_weights(params["dit"], converted, {},
+                                          variant, strict=True)
     return params
 
 

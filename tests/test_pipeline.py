@@ -170,3 +170,21 @@ def test_batched_runner_matches_per_object(tmp_path):
     cd, emd = batched_metric(jnp.asarray(pred), jnp.asarray(gt),
                              num_points=512, emd_iters=5)
     assert cd.shape == (2,) and np.isfinite(np.asarray(cd)).all()
+
+
+def test_batched_neural_pipeline_tiny(tmp_path):
+    """Full batched NEURAL pipeline in CI at tiny preset scale (VERDICT
+    r3 #7): _generate_images batch -> generate_meshes_batch ->
+    batched_reg mesh-surface sampling over 2 real objects — the exact
+    combination whose complete_xyz assumption crashed in r3 (ae73492).
+    Also exercises the host-chunked DiT sampler (denoise_chunk=2)."""
+    from genpc_tpu.parallel.batched_runner import run_batched
+    cfg = _tiny_cfg(tmp_path).merged(dict(
+        control_model="qwen", generative_model="instantmesh",
+        rembg_model="rmbg", model_size="tiny", save=False,
+        denoise_chunk=2))
+    res = run_batched(cfg, ["01184", "05452"], "/root/reference/data",
+                      with_emd=False, verbose=False)
+    assert set(res) == {"01184", "05452"}
+    for f, m in res.items():
+        assert np.isfinite(m["cd"]), (f, m)

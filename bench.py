@@ -83,10 +83,14 @@ def _persist_artifact(payload: dict) -> None:
     VERDICT r3 weak #1: when the driver bench can't run, locally
     validated runs must still exist as JSON artifacts, not STATUS.md
     prose.  Successful runs always persist here (the driver's own run
-    simply overwrites with the same numbers); aborts never overwrite."""
+    simply overwrites with the same numbers); aborts never overwrite.
+    CPU runs (tunnel-free fallback while the relay is down) get a
+    platform suffix so they can never shadow a chip-validated artifact."""
     round_tag = os.environ.get("GENPC_ROUND", "r04")
+    platform = str(payload.get("extra", {}).get("platform", ""))
+    suffix = "" if platform.startswith(("tpu", "axon")) else "_cpu"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"BENCH_local_{round_tag}.json")
+                        f"BENCH_local_{round_tag}{suffix}.json")
     try:
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)
@@ -101,15 +105,26 @@ def main():
 
     fail, platform = _preflight_backend()
     if fail is not None:
+        # embed any locally-persisted artifact so the abort record still
+        # carries machine-readable numbers (VERDICT r3 weak #1)
+        here = os.path.dirname(os.path.abspath(__file__))
+        local = {}
+        for name in sorted(os.listdir(here)):
+            if name.startswith("BENCH_local_") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(here, name)) as f:
+                        local[name] = json.load(f)
+                except (OSError, ValueError):
+                    pass
         print(json.dumps({
             "metric": "objects/min/chip end-to-end incl. full "
                       "registration stack (synthetic backends, redwood, "
                       "CD+EMD eval, object-batched)",
             "value": 0.0, "unit": "objects/min/chip", "vs_baseline": 0.0,
             "extra": {"note": f"BENCH ABORTED, not a regression: {fail}",
-                      "last_known_good":
-                          "see BENCH_r02.json / STATUS.md (21.0 obj/min "
-                          "local validated run)"}}))
+                      "local_artifacts": local or
+                          "none found — see BENCH_r02.json (last chip "
+                          "run) / STATUS.md"}}))
         return
 
     from genpc_tpu.categories import REDWOOD_FLAGS
@@ -287,6 +302,11 @@ def main():
         "vs_baseline": round(opm_reg / TARGET_OBJ_PER_MIN, 3),
         "extra": {
             "platform": platform,
+            **({} if platform.startswith(("tpu", "axon")) else
+               {"platform_note": "CPU run (TPU tunnel relay down) — "
+                                 "quality numbers are platform-"
+                                 "independent; walls/throughput are NOT "
+                                 "chip numbers"}),
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "avg_cd_x100": cd_reg, "avg_emd_x100": emd_reg,
             "objects": len(flags), "wall_s": round(wall, 1),

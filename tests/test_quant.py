@@ -184,6 +184,47 @@ def test_flux_checkpoint_grafts_into_quantized_structure():
     assert rel < 0.05, rel
 
 
+def test_t5_loader_quantized_path_from_safetensors(tmp_path):
+    """The real file-level loader (weights.load_t5_and_clip_l) with
+    quant_bits>0: a synthetic T5 safetensors checkpoint on disk grafts
+    into the fp template, quantizes, and the quantized encoder's output
+    tracks the fp graft — the exact load path the full FLUX preset uses
+    (reference loads its T5 int4 the same way: tools/flux_depth.py:21-27)."""
+    from safetensors.numpy import save_file
+    from genpc_tpu.models import checkpoint_specs as specs
+    from genpc_tpu.models.quant import t5_block_select
+    from genpc_tpu.models.t5 import T5Config, T5Encoder
+    from genpc_tpu.models.weights import (load_t5_and_clip_l,
+                                          synthetic_checkpoint)
+
+    cfg_f = T5Config.preset("tiny")
+    cfg_q = dataclasses.replace(cfg_f, quant_bits=8)
+    sd = synthetic_checkpoint(specs.spec_t5_encoder(cfg_f))
+    d = tmp_path / "text_encoder_2"
+    d.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(d / "model.safetensors"))
+
+    ids = jnp.asarray(np.random.default_rng(9).integers(
+        0, cfg_f.vocab_size, size=(2, 16)), jnp.int32)
+    pf = T5Encoder(cfg_f).init(jax.random.PRNGKey(0), ids)
+    pq = T5Encoder(cfg_q).init(jax.random.PRNGKey(0), ids)
+    pf, _ = load_t5_and_clip_l(str(tmp_path), pf, None, quant_bits=0)
+    pq, _ = load_t5_and_clip_l(str(tmp_path), pq, None, quant_bits=8)
+
+    # every selected block kernel is stored int8 after the load
+    n_int = sum(1 for p, l in jax.tree_util.tree_flatten_with_path(
+        flax_meta.unbox(pq))[0]
+        if jnp.issubdtype(l.dtype, jnp.integer) and l.ndim == 2)
+    assert n_int >= 7 * cfg_f.num_layers, n_int
+
+    out_f = np.asarray(T5Encoder(cfg_f).apply(pf, ids), np.float32)
+    out_q = np.asarray(T5Encoder(cfg_q).apply(pq, ids), np.float32)
+    rel = np.linalg.norm(out_q - out_f) / (np.linalg.norm(out_f) + 1e-9)
+    assert rel < 0.05, rel
+    assert t5_block_select(("block_0", "attn"))  # domain sanity
+
+
 def test_t5_quantized_close_to_fp():
     """T5 tower: quantize_tree over the block domain drops into the
     quant model and tracks the FP forward (reference runs this tower

@@ -101,9 +101,12 @@ DEFAULTS: Dict[str, Any] = dict(
     pose_coarse_frac=0.7,
     pose_starts=4,
     # keep only the best N coarse-phase starts for the full-res phase
-    # (the coarse search decides the basin ranking; 0 or >=pose_starts
-    # polishes all starts at full res like the reference)
-    pose_prune_starts=1,
+    # (0 or >=pose_starts polishes all starts at full res like the
+    # reference, diff_obj_pose.py:518-567).  Default 0: the chip A/B
+    # (docs/registration_ab.json) shows the coarse ranking mispicks the
+    # basin on ~1/13 objects (07136: CD 4.885 pruned vs 3.943 full) for
+    # only ~8% stage-3 wall saved — pruning remains an opt-in speedup.
+    pose_prune_starts=0,
     emd_eps=0.005,
     emd_iters=50,
     input_points=65536,            # fixed input resampling (one compile/run)
@@ -130,7 +133,11 @@ DEFAULTS: Dict[str, Any] = dict(
     image23d_batch=0,
     # final input-frame refine model (when final_icp_refine):
     # 'anisotropic' R·diag(s) (default) | 'affine' general A (cancels
-    # the chain's full R1·diag·R2 residual) | 'similarity' c·R
+    # the chain's full R1·diag·R2 residual) | 'similarity' c·R.
+    # Chip A/B on the 13 redwood objects (docs/registration_ab.json):
+    # anisotropic 2.569 vs affine 2.697 avg CD×100 — the extra affine
+    # freedom overfits sparse correspondences on real data; it stays
+    # opt-in for synthetic/adversarial inputs.
     final_refine="anisotropic",
 )
 

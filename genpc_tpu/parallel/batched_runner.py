@@ -378,7 +378,7 @@ def batched_reg(cfg, arts: List[ObjectArtifacts],
         int(cfg.get("pose_iters", 200)),
         int(cfg.get("pose_render_size", 224)),
         coarse_frac=float(cfg.get("pose_coarse_frac", 0.7)),
-        prune_to=int(cfg.get("pose_prune_starts", 1)))
+        prune_to=int(cfg.get("pose_prune_starts", 0)))
     diff_T = np.linalg.inv(np.asarray(T)).astype(np.float32)
 
     # normalize targets, transform sources into pose frame (host, per obj)

@@ -125,7 +125,7 @@ def reg(cfg, art: ObjectArtifacts, cd_inv_weight: float = 0.5,
             iters=int(cfg.get("pose_iters", 200)),
             render_size=int(cfg.get("pose_render_size", 224)),
             coarse_frac=float(cfg.get("pose_coarse_frac", 0.7)),
-            prune_to=int(cfg.get("pose_prune_starts", 1)))
+            prune_to=int(cfg.get("pose_prune_starts", 0)))
         diff_transform = np.linalg.inv(T).astype(np.float32)
 
     src_w = _apply(diff_transform, src)

@@ -18,7 +18,13 @@ dequantize-in-matmul:
   no scalar loops, static shapes, fp32 accumulation via
   preferred_element_type.
 
-int4 storage uses jnp.int4 (XLA packs two values per byte on TPU).
+int4 storage packs TWO signed nibbles per int8 byte along the input dim
+(kernel_p4 [in/2, out]) and unpacks with two arithmetic shifts inside the
+matmul — pure elementwise ops XLA fuses into the MXU operand load.  The
+native jnp.int4 dtype is deliberately NOT used at runtime: on the
+tunneled TPU backend an eager op on an S4 array recurses forever in
+device_put relayout (S4 tiled layout T(64,128)(8,1)); nibble-packed int8
+has identical HBM footprint and none of the dtype hazards.
 Symmetric per-output-channel absmax quantization: q = round(w/s),
 s = max|w|/Qmax per column — the standard weight-only scheme; activations
 stay bf16.
@@ -35,25 +41,50 @@ import numpy as np
 from flax.core import meta as flax_meta
 
 _QMAX = {8: 127, 4: 7}
-_QDTYPE = {8: jnp.int8, 4: jnp.int4}
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack a [in, out] tensor of signed 4-bit values (in [-8, 7], any
+    int dtype) into [in/2, out] int8: row 2i -> low nibble, row 2i+1 ->
+    high nibble.  Requires an even input dim (every transformer dim in
+    the presets is)."""
+    assert q.shape[0] % 2 == 0, f"odd in-dim {q.shape} cannot pack int4"
+    q = jnp.asarray(q, jnp.int32)
+    packed = (q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)
+    return packed.astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4: [in/2, out] int8 -> [in, out] int8.  Two
+    arithmetic shifts per nibble (int8 << wraps mod 256; >> sign-extends)
+    — elementwise, fused by XLA into the consuming matmul's operand."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.stack([lo, hi], axis=1).reshape(
+        packed.shape[0] * 2, packed.shape[1])
 
 
 def quantize_array(w: jnp.ndarray, bits: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric quantization of a [in, out] kernel.
 
-    Returns (q [in,out] int8/int4, scale [out] f32) with
-    dequant(q, s) = q * s[None, :].
+    Returns (q, scale [out] f32) with dequant(q, s) = q * s[None, :];
+    q is [in,out] int8 for bits=8, nibble-packed [in/2,out] int8 for
+    bits=4 (see pack_int4).
     """
     qmax = _QMAX[bits]
     w = jnp.asarray(w, jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / qmax, 1e-12)
     q = jnp.clip(jnp.round(w / scale[None, :]), -qmax, qmax)
-    return q.astype(_QDTYPE[bits]), scale.astype(jnp.float32)
+    if bits == 4:
+        return pack_int4(q), scale.astype(jnp.float32)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
 def dequantize_array(q: jnp.ndarray, scale: jnp.ndarray,
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32, bits: int = 8) -> jnp.ndarray:
+    if bits == 4:
+        q = unpack_int4(q)
     return q.astype(dtype) * scale.astype(dtype)[None, :]
 
 
@@ -69,9 +100,11 @@ def _int_kernel_init(bits: int, axes):
     qmax = _QMAX[bits]
 
     def init(key, shape, dtype):
-        w = jax.random.normal(key, shape, jnp.float32)
+        # bits=4: `shape` is the PACKED [in/2, out] shape
+        full = (shape[0] * 2, shape[1]) if bits == 4 else shape
+        w = jax.random.normal(key, full, jnp.float32)
         q = jnp.clip(jnp.round(w * (qmax / 3.0)), -qmax, qmax)
-        return q.astype(dtype)
+        return pack_int4(q) if bits == 4 else q.astype(dtype)
 
     return nn.with_logical_partitioning(init, axes)
 
@@ -94,8 +127,15 @@ class QuantDense(nn.Module):
     def __call__(self, x):
         in_dim = x.shape[-1]
         axes = ("embed", "tp") if self.shard == "out" else ("tp", "embed")
-        kernel = self.param("kernel", _int_kernel_init(self.bits, axes),
-                            (in_dim, self.features), _QDTYPE[self.bits])
+        if self.bits == 4:
+            assert in_dim % 2 == 0, f"int4 needs even in_dim, got {in_dim}"
+            packed = self.param("kernel_p4",
+                                _int_kernel_init(4, axes),
+                                (in_dim // 2, self.features), jnp.int8)
+            kernel = unpack_int4(packed)
+        else:
+            kernel = self.param("kernel", _int_kernel_init(8, axes),
+                                (in_dim, self.features), jnp.int8)
         qmax = _QMAX[self.bits]
         scale = self.param(
             "scale",
@@ -135,7 +175,7 @@ def quantize_tree(params: Dict[str, Any], bits: int,
             if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
                     and select(path)):
                 q, s = quantize_array(v, bits)
-                out["kernel"] = q
+                out["kernel_p4" if bits == 4 else "kernel"] = q
                 out["scale"] = s
             else:
                 out[k] = walk(v, path + (k,))
@@ -156,6 +196,12 @@ def fp_template_like(qtree: Dict[str, Any]) -> Dict[str, Any]:
     def walk(node):
         if not isinstance(node, dict):
             return node
+        if "kernel_p4" in node and "scale" in node:
+            out = {k: walk(v) for k, v in node.items()
+                   if k not in ("scale", "kernel_p4")}
+            h, o = node["kernel_p4"].shape
+            out["kernel"] = np.zeros((h * 2, o), np.float32)
+            return out
         if ("kernel" in node and "scale" in node
                 and hasattr(node["kernel"], "dtype")
                 and jnp.issubdtype(node["kernel"].dtype, jnp.integer)):
@@ -189,12 +235,10 @@ def vl_block_select(path: Tuple[str, ...]) -> bool:
 
 
 def tree_bytes(params) -> int:
-    """On-device bytes of a parameter tree (int4 counted at 0.5 B)."""
+    """On-device bytes of a parameter tree (packed-int4 kernels are int8
+    at half the logical element count, so itemsize accounting is exact)."""
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
         n = int(np.prod(leaf.shape))
-        if str(leaf.dtype) == "int4":
-            total += n // 2
-        else:
-            total += n * leaf.dtype.itemsize
+        total += n * leaf.dtype.itemsize
     return total

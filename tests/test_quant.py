@@ -18,8 +18,9 @@ from flax.core import meta as flax_meta
 
 from genpc_tpu.models.quant import (QuantDense, dequantize_array,
                                     dit_block_select, fp_template_like,
-                                    quantize_array, quantize_tree,
-                                    tree_bytes)
+                                    pack_int4, quantize_array,
+                                    quantize_tree, tree_bytes,
+                                    unpack_int4)
 
 
 @pytest.mark.parametrize("bits,rtol", [(8, 0.02), (4, 0.25)])
@@ -28,7 +29,7 @@ def test_quantize_roundtrip(bits, rtol):
     w = rng.normal(size=(64, 48)).astype(np.float32) * 0.2
     q, s = quantize_array(jnp.asarray(w), bits)
     assert s.shape == (48,)
-    wd = np.asarray(dequantize_array(q, s))
+    wd = np.asarray(dequantize_array(q, s, bits=bits))
     # per-column absmax scaling bounds elementwise error by scale/2
     assert np.all(np.abs(wd - w) <= np.asarray(s)[None, :] * 0.5 + 1e-6)
     rel = np.linalg.norm(wd - w) / np.linalg.norm(w)
@@ -41,9 +42,18 @@ def test_quantize_int_range_and_dtype():
     q8, _ = quantize_array(w, 8)
     q4, _ = quantize_array(w, 4)
     assert q8.dtype == jnp.int8
-    assert str(q4.dtype) == "int4"
+    # int4 is nibble-packed int8 [in/2, out] — the native S4 dtype
+    # recurses in device_put on the tunneled TPU backend
+    assert q4.dtype == jnp.int8 and q4.shape == (16, 16)
     assert int(jnp.max(jnp.abs(q8.astype(jnp.int32)))) <= 127
-    assert int(jnp.max(jnp.abs(q4.astype(jnp.int32)))) <= 7
+    assert int(jnp.max(jnp.abs(unpack_int4(q4).astype(jnp.int32)))) <= 7
+
+
+def test_pack_unpack_int4_roundtrip():
+    rng = np.random.default_rng(11)
+    q = rng.integers(-8, 8, size=(30, 17)).astype(np.int8)
+    rt = np.asarray(unpack_int4(pack_int4(jnp.asarray(q))))
+    np.testing.assert_array_equal(rt, q)
 
 
 @pytest.mark.parametrize("bits", [8, 4])
@@ -54,7 +64,8 @@ def test_quant_dense_matches_manual_dequant(bits):
     params = layer.init(jax.random.PRNGKey(0), x)
     y = layer.apply(params, x)
     p = flax_meta.unbox(params)["params"]
-    w = dequantize_array(p["kernel"], p["scale"], jnp.float32)
+    q = p["kernel_p4"] if bits == 4 else p["kernel"]
+    w = dequantize_array(q, p["scale"], jnp.float32, bits=bits)
     ref = x @ w + p["bias"]
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

@@ -147,6 +147,46 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     return out.astype(x.dtype)
 
 
+# Above this joint-sequence length the full [T,T] f32 logits matrix is
+# switched for query-chunked exact attention: at the 1024² presets
+# T=4608 and [heads,T,T] f32 is ~1.9 GB live TWICE (logits + softmax) —
+# the allocation that OOMed the int8 FLUX preset on one 16 GB v5e chip.
+_ATTN_CHUNK_MIN_T = 2048
+_ATTN_Q_CHUNK = 512
+
+
+def _chunked_attention(q, k, v, mask=None, chunk=_ATTN_Q_CHUNK):
+    """Exact attention scanned over query chunks (q/k/v [B,T,H,dh]).
+
+    Softmax is per-query-row, so chunking queries is mathematically
+    identical to the unchunked product while the live f32 logits buffer
+    shrinks from [B,H,T,T] to [B,H,chunk,T] (~0.2 GB at the FLUX 1024²
+    preset vs ~1.9 GB).  Keys/values stay whole and resident — no online
+    softmax rescaling needed.  mask [B,T] marks valid KEY tokens.
+    """
+    b, t, h, dh = q.shape
+    n = -(-t // chunk)
+    tp = n * chunk
+    qp = jnp.pad(q, ((0, 0), (0, tp - t), (0, 0), (0, 0)))
+    qs = qp.reshape(b, n, chunk, h, dh).transpose(1, 0, 2, 3, 4)
+    scale = 1.0 / np.sqrt(dh)
+    bias = (None if mask is None else
+            jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
+            [:, None, None, :])
+
+    def body(_, qc):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qc, k,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, axis=-1)
+        oc = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+        return None, oc
+
+    _, outs = jax.lax.scan(body, None, qs)
+    return outs.transpose(1, 0, 2, 3, 4).reshape(b, tp, h, dh)[:, :t]
+
+
 def _attention(q, k, v, heads, cos, sin, mask=None):
     """q/k/v [B,T,dim] -> joint attention with RoPE; returns [B,T,dim].
 
@@ -159,6 +199,8 @@ def _attention(q, k, v, heads, cos, sin, mask=None):
     q, k, v = split(q), split(k), split(v)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if t > _ATTN_CHUNK_MIN_T:
+        return _chunked_attention(q, k, v, mask).reshape(b, t, d)
     m = None if mask is None else mask[:, None, None, :]
     out = jax.nn.dot_product_attention(q, k, v, mask=m)
     return out.reshape(b, t, d)

@@ -160,6 +160,25 @@ def test_mmdit_tiny_shapes():
     assert float(jnp.abs(out - o2).max()) > 1e-6
 
 
+def test_chunked_attention_matches_dense():
+    """Query-chunked exact attention (the 1024²-preset memory path) must
+    reproduce jax.nn.dot_product_attention bit-for-bit up to bf16/f32
+    noise — with a key mask and a non-multiple sequence length."""
+    from genpc_tpu.models.dit import _chunked_attention
+    rng = np.random.default_rng(12)
+    b, t, h, dh = 2, 37, 4, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, t)) > 0.2)
+    mask = mask.at[:, 0].set(True)        # every row sees >=1 valid key
+    for m in (None, mask):
+        ref = jax.nn.dot_product_attention(
+            q, k, v, mask=None if m is None else m[:, None, None, :])
+        out = _chunked_attention(q, k, v, m, chunk=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_dit_depth_pipeline_tiny():
     from genpc_tpu.config import load_config
     from genpc_tpu.models.dit_depth import DiTDepthEdit

@@ -184,9 +184,11 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
     the reference's defining single-GPU deployment trick (Nunchaku int4,
     tools/flux_depth.py:12-30, tools/qwen_depth.py:50-62).
 
-    FLUX.1-Depth-dev: int8 transformer (~12 GB) + int4 T5-XXL (~2.4 GB);
+    FLUX.1-Depth-dev: int4 transformer (~6 GB) + int4 T5-XXL (~2.4 GB);
     Qwen-Image-Edit: int4 transformer (~10 GB) + int4 Qwen2.5-VL
-    (~4.2 GB).  Runs the FULL reference step budget (flux 30 / qwen 8)
+    (~4.2 GB) — both exactly the reference's Nunchaku int4 builds (int8
+    FLUX compiles but RESOURCE_EXHAUSTs at runtime next to the T5 on
+    16 GB).  Runs the FULL reference step budget (flux 30 / qwen 8)
     host-chunked, records HBM param bytes and per-denoise-step ms.
     """
     import jax
@@ -320,15 +322,17 @@ def memory_notes() -> dict:
         "flux_depth_dev": {
             "params": flux, "bf16_bytes": flux * 2,
             "fits_one_v5e_bf16": flux * 2 < hbm * 0.85,
-            "int8_bytes": flux,
-            "fits_one_v5e_int8_dit_int4_t5":
-                flux + t5 // 2 < hbm * 0.9,
+            "int4_bytes": flux // 2,
+            "fits_one_v5e_int4_dit_int4_t5":
+                flux // 2 + t5 // 2 < hbm * 0.9,
             "note": "bf16 needs >= 4 v5e chips tensor-parallel ('tp' "
                     "axes annotated on every kernel); the single-chip "
-                    "path is weight-only int8 DiT + int4 T5 "
-                    "(models/quant.py), the TPU equivalent of the "
-                    "reference's Nunchaku int4 build — executed in the "
-                    "flux_q bench section"},
+                    "path is weight-only int4 DiT + int4 T5 "
+                    "(models/quant.py), exactly the reference's "
+                    "Nunchaku int4 build — executed in the flux_q "
+                    "bench section.  int8 DiT (~12 GB) compiles but "
+                    "RESOURCE_EXHAUSTs at runtime next to the T5 on "
+                    "the 16 GB chip"},
         "qwen_image_edit": {
             "params": qwen, "bf16_bytes": qwen * 2,
             "fits_one_v5e_bf16": qwen * 2 < hbm * 0.85,

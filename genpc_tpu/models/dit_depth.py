@@ -64,16 +64,17 @@ def _pad_tokens(ctx: np.ndarray, budget: int):
 
 
 def _default_quant_bits(variant: str, full: bool, qb) -> int:
-    """Single-chip default for the full presets: FLUX-12B int8 (~12 GB),
-    Qwen-20B int4 (~10 GB) fit one 16 GB v5e — the reference deploys both
-    int4 on one GPU (reference: tools/flux_depth.py:12-30,
-    tools/qwen_depth.py:50-62).  Pass quant_bits=0 for the bf16
-    multi-chip tensor-parallel path; tiny/base presets default to bf16."""
+    """Single-chip default for the full presets: int4, exactly the
+    reference's Nunchaku deployment for both backends (reference:
+    tools/flux_depth.py:12-30, tools/qwen_depth.py:50-62).  FLUX int8
+    (~12 GB) compiles but leaves no runtime headroom next to the int4
+    T5 (measured RESOURCE_EXHAUSTED on the 16 GB v5e); int4 (~6 GB)
+    runs with room for activations.  Pass quant_bits=8 on >=24 GB parts
+    or 0 for the bf16 multi-chip tensor-parallel path; tiny/base presets
+    default to bf16."""
     if qb is not None:
         return int(qb)
-    if full:
-        return 8 if variant == "flux" else 4
-    return 0
+    return 4 if full else 0
 
 
 class DiTDepthEdit:

@@ -291,11 +291,12 @@ def test_dit_chunked_sampler_matches_unchunked():
 
 
 def test_full_presets_default_to_quantized():
-    """The full-size single-chip defaults: flux int8, qwen int4 (the
-    reference's int4 single-GPU deployment, tools/flux_depth.py:12-30);
-    quant_bits=0 opts back into bf16 for multi-chip tp."""
+    """The full-size single-chip defaults: int4 for both backends (the
+    reference's Nunchaku int4 single-GPU deployment,
+    tools/flux_depth.py:12-30, tools/qwen_depth.py:50-62); quant_bits=0
+    opts back into bf16 for multi-chip tp, 8 for bigger-HBM parts."""
     from genpc_tpu.models.dit_depth import _default_quant_bits
-    assert _default_quant_bits("flux", True, None) == 8
+    assert _default_quant_bits("flux", True, None) == 4
     assert _default_quant_bits("qwen", True, None) == 4
     assert _default_quant_bits("flux", True, 0) == 0   # bf16 tp opt-out
     assert _default_quant_bits("qwen", True, 8) == 8

@@ -205,8 +205,12 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
     be._params = _bf16_like(shapes)
     be._latent_hw = hw
     init_s = time.time() - t0
-    n_params = sum(int(np.prod(l.shape)) for l in
-                   jax.tree_util.tree_leaves(shapes))
+    # nibble-packed int4 kernels ('kernel_p4') hold TWO logical params
+    # per stored element — count the logical model size
+    n_params = sum(
+        int(np.prod(l.shape)) * (2 if "kernel_p4" in
+                                 jax.tree_util.keystr(p) else 1)
+        for p, l in jax.tree_util.tree_flatten_with_path(shapes)[0])
     pbytes = tree_bytes(be._params)
     _log(f"{variant}-quant: {n_params/1e9:.2f}B params in "
          f"{pbytes/1e9:.2f} GB HBM (int{be.dit_cfg.quant_bits} blocks), "

@@ -221,6 +221,15 @@ def vision_rope(grid: int, cfg: QwenVLConfig) -> np.ndarray:
     return np.concatenate([hf, wf], axis=1).astype(np.float32)  # [S, hd/2]
 
 
+def snap_vision_px(px: int, cfg: QwenVLConfig) -> int:
+    """Round an image side UP to the next whole-attention-window multiple
+    (112 px at patch 14 / merge 2 / 112px windows) — grids must tile into
+    whole windows (window_permutation); the real preprocessor instead
+    pads ragged windows, same tokens per window either way."""
+    wpx = cfg.window_cells * cfg.merge * cfg.patch
+    return -(-px // wpx) * wpx
+
+
 def window_permutation(grid: int, cfg: QwenVLConfig) -> np.ndarray:
     """Permutation taking grouped-order patch tokens into window order.
 
@@ -364,7 +373,8 @@ class QwenVLEncoder:
             quant_bits = 4 if size == "full" else 0
         self.cfg = dataclasses.replace(QwenVLConfig.preset(size),
                                        quant_bits=int(quant_bits))
-        self.vision_px = vision_px if size == "full" else 16
+        self.vision_px = snap_vision_px(
+            vision_px if size == "full" else 16, self.cfg)
         self.text = QwenVLTextModel(self.cfg)
         self.vision = QwenVisionModel(self.cfg)
         self.tok = None

@@ -287,3 +287,21 @@ def test_qwen_vl_encoder_template_protocol():
     txt_only = enc.encode("a chair")
     assert txt_only.shape[2] == enc.cfg.hidden
     assert txt_only.shape[1] < out.shape[1]
+
+
+def test_vision_px_snaps_to_whole_windows():
+    """The full preset's window attention needs grids that tile into
+    whole windows; the encoder must snap any requested vision_px UP to
+    the next whole-window multiple (392 -> 448 at patch 14 / merge 2 /
+    112px windows) instead of erroring at encode time."""
+    from genpc_tpu.models.qwen_vl import (QwenVLConfig, snap_vision_px,
+                                          window_permutation)
+    cfg = QwenVLConfig.preset("full")
+    assert cfg.window_cells * cfg.merge * cfg.patch == 112
+    snapped = snap_vision_px(392, cfg)
+    assert snapped == 448
+    assert snap_vision_px(448, cfg) == 448
+    perm = window_permutation(snapped // cfg.patch, cfg)
+    assert sorted(perm.tolist()) == list(range(len(perm)))
+    with pytest.raises(ValueError):
+        window_permutation(392 // cfg.patch, cfg)

@@ -202,8 +202,7 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
     hw = size // be.factor
     t0 = time.time()
     shapes = jax.eval_shape(lambda: be._init_params(hw))
-    be._params = _bf16_like(shapes)
-    be._latent_hw = hw
+    be.set_params(_bf16_like(shapes), hw)
     init_s = time.time() - t0
     # nibble-packed int4 kernels ('kernel_p4') hold TWO logical params
     # per stored element — count the logical model size
@@ -211,7 +210,7 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
         int(np.prod(l.shape)) * (2 if "kernel_p4" in
                                  jax.tree_util.keystr(p) else 1)
         for p, l in jax.tree_util.tree_flatten_with_path(shapes)[0])
-    pbytes = tree_bytes(be._params)
+    pbytes = tree_bytes(shapes)
     _log(f"{variant}-quant: {n_params/1e9:.2f}B params in "
          f"{pbytes/1e9:.2f} GB HBM (int{be.dit_cfg.quant_bits} blocks), "
          f"init {init_s:.0f}s; first generate (compiles)...")

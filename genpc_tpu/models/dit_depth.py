@@ -117,7 +117,18 @@ class DiTDepthEdit:
         self.steps = 8 if variant == "qwen" else 30
         self.guidance = 4.0 if variant == "qwen" else 10.0
         self._params = None
+        self._params_host = None
         self._latent_hw = None
+        # Sequential-offload analog for the DiT itself (reference:
+        # tools/qwen_depth.py:60-62): at full size the int4 20B Qwen
+        # transformer (10.46 GB) and the int4 8.3B VL tower (4.2 GB)
+        # cannot BOTH be HBM-resident during prompt encoding, so the DiT
+        # params live in the TPU host's pinned memory between calls and
+        # are materialized only for the denoise+decode window.  FLUX
+        # (int4 6 GB + int4 T5 2.4 GB) co-resides fine and stays put.
+        do = self.cfg.get("dit_offload") if cfg else None
+        self.dit_offload = (variant == "qwen" and self.full) \
+            if do is None else bool(do)
 
     def _init_params(self, latent_hw: int):
         rng = jax.random.PRNGKey(0)
@@ -142,24 +153,74 @@ class DiTDepthEdit:
                               quant_bits=self.dit_cfg.quant_bits)
         return params
 
+    # ------------------------------------------------ param residency
+    def set_params(self, params, latent_hw: int):
+        """Install a param tree, honoring the offload policy (benches
+        install synthetic full-scale params through this)."""
+        self._latent_hw = latent_hw
+        if self.dit_offload:
+            from genpc_tpu.models.qwen_vl import _offload_tree
+            self._params_host = _offload_tree(params)
+            jax.block_until_ready(self._params_host)
+            for leaf in jax.tree_util.tree_leaves(params):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            self._params = None
+        else:
+            self._params = params
+
+    def _acquire_params(self, latent_hw: int):
+        """Device-resident params for one sampling window."""
+        fresh = self._latent_hw != latent_hw or (
+            self._params is None and self._params_host is None)
+        if fresh:
+            self._latent_hw = latent_hw
+            params = self._init_params(latent_hw)
+            if self.dit_offload:     # keep a host copy for later calls
+                from genpc_tpu.models.qwen_vl import _offload_tree
+                self._params_host = _offload_tree(params)
+                jax.block_until_ready(self._params_host)
+            else:
+                self._params = params
+            return params
+        if self._params is not None:
+            return self._params
+        dev = jax.devices()[0]
+        params = jax.device_put(
+            self._params_host, jax.sharding.SingleDeviceSharding(dev))
+        jax.block_until_ready(params)
+        return params
+
+    def _release_params(self, params):
+        """After a sampling window: drop the device copy iff offloaded."""
+        if self.dit_offload:
+            for leaf in jax.tree_util.tree_leaves(params):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+
     # ------------------------------------------------------------ prompts
     def _encode_prompts(self, categories: Sequence[str],
                         depths01: np.ndarray):
         """-> (txt, mask, txt_neg, mask_neg, pooled) stacked over B."""
         if self.variant == "qwen":
             ctxs, masks, negs, nmasks = [], [], [], []
-            for b, cat in enumerate(categories):
-                pos = np.asarray(self.vl.encode(
-                    QWEN_PROMPT.format(category=cat), depths01[b])[0],
-                    np.float32)
-                neg = np.asarray(self.vl.encode(" ", depths01[b])[0],
-                                 np.float32)
-                c, m = _pad_tokens(pos, self.txt_budget)
-                n, nm = _pad_tokens(neg, self.txt_budget)
-                ctxs.append(c)
-                masks.append(m)
-                negs.append(n)
-                nmasks.append(nm)
+            try:
+                for b, cat in enumerate(categories):
+                    pos = np.asarray(self.vl.encode(
+                        QWEN_PROMPT.format(category=cat), depths01[b])[0],
+                        np.float32)
+                    neg = np.asarray(self.vl.encode(" ", depths01[b])[0],
+                                     np.float32)
+                    c, m = _pad_tokens(pos, self.txt_budget)
+                    n, nm = _pad_tokens(neg, self.txt_budget)
+                    ctxs.append(c)
+                    masks.append(m)
+                    negs.append(n)
+                    nmasks.append(nm)
+            finally:
+                # sequential-offload analog: the 8.3B VL tower leaves HBM
+                # before the 20B DiT denoises (tools/qwen_depth.py:60-62)
+                self.vl.release()
             return (jnp.asarray(np.stack(ctxs)), jnp.asarray(np.stack(masks)),
                     jnp.asarray(np.stack(negs)),
                     jnp.asarray(np.stack(nmasks)), None)
@@ -270,31 +331,35 @@ class DiTDepthEdit:
         from genpc_tpu.categories import get_category
         depths01 = np.stack([self._prep_depth(d, size) for d in depths])
         latent_hw = size // self.factor
-        if self._params is None or self._latent_hw != latent_hw:
-            self._latent_hw = latent_hw
-            self._params = self._init_params(latent_hw)
         cats = [get_category(f) for f in categories_or_flags]
+        # encode BEFORE materializing DiT params: the conditioning tower
+        # then never shares HBM with an offloaded DiT at all
         txt, mask, neg, nmask, pooled = self._encode_prompts(cats, depths01)
-        steps = num_inference_steps or self.steps
-        self.rng, k = jax.random.split(self.rng)
-        cond = jnp.asarray(depths01 * 2 - 1)
-        chunk = int(self.cfg.get("denoise_chunk", 0) or 0) if self.cfg \
-            else 0
-        if chunk:
-            cond_lat, latents = self._sample_prep(self._params, cond, k)
-            lo = 0
-            while lo < steps:
-                hi = min(lo + chunk, steps)
-                latents = self._sample_chunk(
-                    self._params, latents, cond_lat, txt, mask, neg,
-                    nmask, pooled, jnp.int32(lo), jnp.int32(hi), steps,
-                    self.guidance)
-                lo = hi
-            img = self._decode(self._params, latents)
-        else:
-            img = self._sample(self._params, cond, txt, mask, neg, nmask,
-                               pooled, k, steps, self.guidance)
-        return np.asarray(img)
+        params = self._acquire_params(latent_hw)
+        try:
+            steps = num_inference_steps or self.steps
+            self.rng, k = jax.random.split(self.rng)
+            cond = jnp.asarray(depths01 * 2 - 1)
+            chunk = int(self.cfg.get("denoise_chunk", 0) or 0) if self.cfg \
+                else 0
+            if chunk:
+                cond_lat, latents = self._sample_prep(params, cond, k)
+                lo = 0
+                while lo < steps:
+                    hi = min(lo + chunk, steps)
+                    latents = self._sample_chunk(
+                        params, latents, cond_lat, txt, mask, neg,
+                        nmask, pooled, jnp.int32(lo), jnp.int32(hi), steps,
+                        self.guidance)
+                    lo = hi
+                img = self._decode(params, latents)
+            else:
+                img = self._sample(params, cond, txt, mask, neg, nmask,
+                                   pooled, k, steps, self.guidance)
+            img = np.asarray(img)
+        finally:
+            self._release_params(params)
+        return img
 
     def generate(self, depth, category_or_flag: str, size: int = 512,
                  num_inference_steps: int | None = None) -> np.ndarray:
@@ -373,9 +438,6 @@ class FluxInpainter:
             m = m.max(axis=0) if m.shape[0] in (1, 3) else m.max(axis=-1)
         hw = x.shape[0]
         latent_hw = hw // be.factor
-        if be._params is None or be._latent_hw != latent_hw:
-            be._latent_hw = latent_hw
-            be._params = be._init_params(latent_hw)
         txt, pooled = be.t5.encode(prompt)
         if be.dit_cfg.pooled_dim and \
                 pooled.shape[-1] != be.dit_cfg.pooled_dim:
@@ -383,8 +445,12 @@ class FluxInpainter:
             reps = -(-pd // pooled.shape[-1])
             pooled = jnp.tile(pooled, (1, reps))[..., :pd]
         be.rng, k = jax.random.split(be.rng)
-        out = self._sample(be._params, jnp.asarray(x * 2 - 1)[None],
-                           jnp.asarray(m)[None, :, :, None], txt, pooled,
-                           k, steps, be.guidance)
-        out = np.asarray(out[0])
+        params = be._acquire_params(latent_hw)
+        try:
+            out = self._sample(params, jnp.asarray(x * 2 - 1)[None],
+                               jnp.asarray(m)[None, :, :, None], txt,
+                               pooled, k, steps, be.guidance)
+            out = np.asarray(out[0])
+        finally:
+            be._release_params(params)
         return out.transpose(2, 0, 1) if chw else out

@@ -129,13 +129,23 @@ class QuantDense(nn.Module):
         axes = ("embed", "tp") if self.shard == "out" else ("tp", "embed")
         if self.bits == 4:
             assert in_dim % 2 == 0, f"int4 needs even in_dim, got {in_dim}"
-            packed = self.param("kernel_p4",
+            stored = self.param("kernel_p4",
                                 _int_kernel_init(4, axes),
                                 (in_dim // 2, self.features), jnp.int8)
-            kernel = unpack_int4(packed)
         else:
-            kernel = self.param("kernel", _int_kernel_init(8, axes),
+            stored = self.param("kernel", _int_kernel_init(8, axes),
                                 (in_dim, self.features), jnp.int8)
+        # Anti-LICM barrier: tie the stored int kernel to the activation
+        # so the unpack/dequant chain is loop-VARIANT inside while/fori
+        # denoise loops.  Without it XLA's while-loop invariant code
+        # motion hoists every layer's dequantized kernel out of the loop
+        # and materializes them ALL simultaneously — observed 20.2 GB of
+        # HLO temps (60+ hoisted 216 MB f32 converts) for the int4 20B
+        # Qwen preset, i.e. the entire int4 HBM saving undone at compile
+        # time.  The barrier keeps each dequant in-loop, transient, and
+        # freed right after its matmul.
+        stored, x = jax.lax.optimization_barrier((stored, x))
+        kernel = unpack_int4(stored) if self.bits == 4 else stored
         qmax = _QMAX[self.bits]
         scale = self.param(
             "scale",
@@ -236,9 +246,10 @@ def vl_block_select(path: Tuple[str, ...]) -> bool:
 
 def tree_bytes(params) -> int:
     """On-device bytes of a parameter tree (packed-int4 kernels are int8
-    at half the logical element count, so itemsize accounting is exact)."""
+    at half the logical element count, so itemsize accounting is exact).
+    Accepts arrays or jax.ShapeDtypeStruct leaves (eval_shape trees)."""
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
         n = int(np.prod(leaf.shape))
-        total += n * leaf.dtype.itemsize
+        total += n * np.dtype(leaf.dtype).itemsize
     return total

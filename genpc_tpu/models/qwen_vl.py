@@ -336,6 +336,25 @@ def image_to_patches(img: np.ndarray, cfg: QwenVLConfig) -> np.ndarray:
     return x.reshape(g * g, -1)
 
 
+def _offload_tree(tree):
+    """Move a param tree to host memory.
+
+    Prefers the accelerator host's pinned memory (`memory_kind=
+    'pinned_host'`): re-materialization then rides the TPU's PCIe link
+    instead of the client connection.  Backends without memory-kind
+    support fall back to client RAM (numpy).
+    """
+    try:
+        dev = jax.devices()[0]
+        s = jax.sharding.SingleDeviceSharding(dev,
+                                              memory_kind="pinned_host")
+        out = jax.device_put(tree, s)
+        jax.block_until_ready(out)
+        return out
+    except Exception:  # noqa: BLE001 — no pinned_host on this backend
+        return jax.device_get(tree)
+
+
 # -------------------------------------------------------------- protocol
 
 EDIT_TEMPLATE_PREFIX = (
@@ -363,7 +382,8 @@ class QwenVLEncoder:
     def __init__(self, size: str = "tiny", rng_seed: int = 0,
                  weights_dir: Optional[str] = None,
                  vision_px: int = 392,
-                 quant_bits: Optional[int] = None):
+                 quant_bits: Optional[int] = None,
+                 offload: Optional[bool] = None):
         import dataclasses
         if quant_bits is None:
             # full-size default int4 (~4.2 GB): the 8.3B tower must share
@@ -373,6 +393,14 @@ class QwenVLEncoder:
             quant_bits = 4 if size == "full" else 0
         self.cfg = dataclasses.replace(QwenVLConfig.preset(size),
                                        quant_bits=int(quant_bits))
+        # Sequential-offload analog (reference: tools/qwen_depth.py:60-62
+        # enable_sequential_cpu_offload): at full size the tower's params
+        # live in HOST memory and are materialized into HBM only around
+        # prompt encoding, so the denoise loop gets the whole remaining
+        # HBM.  Preferred host store is the TPU host's pinned memory
+        # (re-materialization rides PCIe, not the client link).
+        self.offload = (size == "full") if offload is None else bool(offload)
+        self._dev = None
         self.vision_px = snap_vision_px(
             vision_px if size == "full" else 16, self.cfg)
         self.text = QwenVLTextModel(self.cfg)
@@ -398,11 +426,34 @@ class QwenVLEncoder:
             self.params_text, self.params_vision = load_qwen_vl(
                 weights_dir, self.params_text, self.params_vision,
                 quant_bits=self.cfg.quant_bits)
+        if self.offload:
+            self.params_text, self.params_vision = _offload_tree(
+                (self.params_text, self.params_vision))
         self._run_text = jax.jit(
             lambda p, emb, pos: self.text.apply(p, None, pos,
                                                 inputs_embeds=emb))
         self._run_vision = jax.jit(
             lambda p, patches: self.vision.apply(p, patches, g))
+
+    # -- host offload ----------------------------------------------------
+    def _dev_params(self):
+        """(text, vision) params resident in device memory."""
+        if not self.offload:
+            return self.params_text, self.params_vision
+        if self._dev is None:
+            dev = jax.devices()[0]
+            s = jax.sharding.SingleDeviceSharding(dev)
+            self._dev = jax.device_put(
+                (self.params_text, self.params_vision), s)
+            jax.block_until_ready(self._dev)
+        return self._dev
+
+    def release(self):
+        """Drop the device copies (no-op unless offloaded + resident)."""
+        if self._dev is not None:
+            for leaf in jax.tree_util.tree_leaves(self._dev):
+                leaf.delete()
+            self._dev = None
 
     # -- tokenization ---------------------------------------------------
     def _ids(self, text: str) -> np.ndarray:
@@ -435,18 +486,18 @@ class QwenVLEncoder:
                 [emb_head, img_tokens.astype(emb_head.dtype), emb_tail],
                 axis=0)[None]
             pos = self._mrope_positions(len(head), n_img, len(tail))
-            hidden = self._run_text(self.params_text, embeds, pos)
+            hidden = self._run_text(self._dev_params()[0], embeds, pos)
         else:
             ids = np.concatenate([pre_ids, self._ids(prompt),
                                   self._ids(EDIT_TEMPLATE_SUFFIX)])
             L = len(ids)
             pos = jnp.broadcast_to(jnp.arange(L)[None, None], (3, 1, L))
-            hidden = self.text.apply(self.params_text,
+            hidden = self.text.apply(self._dev_params()[0],
                                      jnp.asarray(ids)[None], pos)
         return hidden[:, drop:]
 
     def _token_embed(self, ids: np.ndarray) -> jnp.ndarray:
-        table = self.params_text["params"]["embed_tokens"]["embedding"]
+        table = self._dev_params()[0]["params"]["embed_tokens"]["embedding"]
         return jnp.asarray(table)[jnp.asarray(ids)]
 
     def _encode_image(self, image: np.ndarray) -> jnp.ndarray:
@@ -456,7 +507,8 @@ class QwenVLEncoder:
             (np.clip(image, 0, 1) * 255).astype(np.uint8)).resize(
             (px, px), Image.BICUBIC), np.float32) / 255.0
         patches = image_to_patches(img, self.cfg)
-        return self._run_vision(self.params_vision, jnp.asarray(patches))
+        return self._run_vision(self._dev_params()[1],
+                                jnp.asarray(patches))
 
     def _mrope_positions(self, n_head: int, n_img: int, n_tail: int
                          ) -> jnp.ndarray:

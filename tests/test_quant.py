@@ -290,6 +290,53 @@ def test_dit_chunked_sampler_matches_unchunked():
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=2e-3, atol=2e-3)
 
 
+def test_vl_encoder_offload_matches_resident():
+    """Host-offloaded VL params (the sequential-CPU-offload analog,
+    reference tools/qwen_depth.py:60-62) must reproduce the resident
+    path bit-for-bit, including re-materialization after release()."""
+    from genpc_tpu.models.qwen_vl import QwenVLEncoder
+    img = np.random.default_rng(3).uniform(size=(16, 16, 3)
+                                           ).astype(np.float32)
+    res = QwenVLEncoder("tiny", offload=False)
+    off = QwenVLEncoder("tiny", offload=True)
+    a = np.asarray(res.encode("a red chair", img))
+    b = np.asarray(off.encode("a red chair", img))
+    np.testing.assert_array_equal(a, b)
+    assert off._dev is not None
+    off.release()
+    assert off._dev is None
+    b2 = np.asarray(off.encode("a red chair", img))  # re-materializes
+    np.testing.assert_array_equal(a, b2)
+    off.release()
+    # text-only branch re-materializes too
+    np.testing.assert_array_equal(np.asarray(res.encode("hello")),
+                                  np.asarray(off.encode("hello")))
+
+
+def test_dit_offload_matches_resident():
+    """The DiT-param offload window (host-resident between calls,
+    materialized for denoise; the full-size Qwen single-chip policy)
+    must reproduce the resident path exactly, across repeated calls."""
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.dit_depth import DiTDepthEdit
+    depth = np.random.default_rng(9).uniform(size=(64, 64)
+                                             ).astype(np.float32)
+    imgs = []
+    for off in (False, True):
+        cfg = load_config(save=False, model_size="tiny",
+                          dit_offload=off, denoise_chunk=2)
+        be = DiTDepthEdit(cfg, variant="qwen", seed=0)
+        a = be.generate(depth, "01184", size=64, num_inference_steps=3)
+        assert (be._params is None) == off
+        assert (be._params_host is not None) == off
+        b = be.generate(depth, "01184", size=64, num_inference_steps=3)
+        imgs.append((a, b))
+    np.testing.assert_allclose(imgs[0][0], imgs[1][0], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(imgs[0][1], imgs[1][1], rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_full_presets_default_to_quantized():
     """The full-size single-chip defaults: int4 for both backends (the
     reference's Nunchaku int4 single-GPU deployment,

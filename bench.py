@@ -249,26 +249,28 @@ def main():
         # config-4 MEASURED as one pipeline (VERDICT r3 #3): run_batched
         # with the full neural presets over >=4 objects, end to end
         if neural_extra is not None:
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.join(here, "bench_neural.py"),
-                     "config4"],
-                    capture_output=True, text=True,
-                    timeout=int(os.environ.get("GENPC_CONFIG4_TIMEOUT",
-                                               "4800")),
-                    cwd=here)
-                print(proc.stderr[-2000:], file=sys.stderr)
-                line = proc.stdout.strip().splitlines()
-                neural_extra["config4_measured"] = (
-                    json.loads(line[-1]) if line else
-                    {"note": f"failed: rc={proc.returncode}, stderr "
-                             f"tail: {proc.stderr[-300:]!r}"})
-            except subprocess.TimeoutExpired:
-                neural_extra["config4_measured"] = {
-                    "note": "skipped: config4 subprocess timed out"}
-            except Exception as e:  # noqa: BLE001
-                neural_extra["config4_measured"] = {
-                    "note": f"skipped: {type(e).__name__}: {e}"}
+            for section, key in (("config4", "config4_measured"),
+                                 ("config4_qwen", "config4_qwen_measured")):
+                try:
+                    proc = subprocess.run(
+                        [sys.executable,
+                         os.path.join(here, "bench_neural.py"), section],
+                        capture_output=True, text=True,
+                        timeout=int(os.environ.get("GENPC_CONFIG4_TIMEOUT",
+                                                   "4800")),
+                        cwd=here)
+                    print(proc.stderr[-2000:], file=sys.stderr)
+                    line = proc.stdout.strip().splitlines()
+                    neural_extra[key] = (
+                        json.loads(line[-1]) if line else
+                        {"note": f"failed: rc={proc.returncode}, stderr "
+                                 f"tail: {proc.stderr[-300:]!r}"})
+                except subprocess.TimeoutExpired:
+                    neural_extra[key] = {
+                        "note": f"skipped: {section} subprocess timed out"}
+                except Exception as e:  # noqa: BLE001
+                    neural_extra[key] = {
+                        "note": f"skipped: {type(e).__name__}: {e}"}
 
     # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50).
     # FRESH random operands per timed call, median of 3: re-timing the

@@ -244,16 +244,17 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
     }
 
 
-def bench_config4(n_objects: int = 4) -> dict:
+def bench_config4(n_objects: int = 4, control: str = "controlnet") -> dict:
     """Config-4 measured as ONE pipeline, not a serial-sum estimate.
 
-    Runs run_batched with the full-size neural presets — SDXL ControlNet
-    standing in for Qwen-Image (20B bf16 cannot fit one chip; see
-    memory_notes) and InstantMesh — end-to-end over n_objects redwood
-    objects: stage1 -> 30-step 1024² depth-conditioned generation ->
-    image->3D (zero123plus 75 steps + LRM) -> full registration stack ->
-    fusion -> CD/EMD eval, in one process on one chip.  The stage
-    boundaries free each model's params before the next materializes
+    Runs run_batched with the full-size neural presets end-to-end over
+    n_objects redwood objects: stage1 -> 1024² depth-conditioned
+    generation -> image->3D (zero123plus 75 steps + LRM) -> full
+    registration stack -> fusion -> CD/EMD eval, in one process on one
+    chip.  control='qwen' is the reference's ACTUAL config-4 backend
+    (Qwen-Image-Edit 20B, int4 + host-offload windows); 'controlnet'
+    (SDXL) is the faster alternative preset.  The stage boundaries free
+    each model's params before the next materializes
     (batched_runner.run_batched), mirroring the reference's free_memory
     between stages (reference: main_lidar.py:12-16, main.py:38-68).
     """
@@ -268,27 +269,32 @@ def bench_config4(n_objects: int = 4) -> dict:
              ][:n_objects]
     cfg = load_config(
         save=False, output_path="/tmp/genpc_config4_ws",
-        control_model="controlnet", generative_model="instantmesh",
+        control_model=control, generative_model="instantmesh",
         rembg_model="synthetic", model_size="full",
         trust_aligned_completion=False,
-        generate_res=1024, denoise_chunk=5, image23d_batch=2)
-    _log(f"config4: warm-up pass over {len(flags)} objects "
+        generate_res=1024, denoise_chunk=5 if control != "qwen" else 2,
+        image23d_batch=2,
+        # 20B denoise activations scale with B next to 10.7 GB params:
+        # two objects per device program is the 16 GB HBM envelope
+        generate_obj_batch=2 if control == "qwen" else 0)
+    _log(f"config4[{control}]: warm-up pass over {len(flags)} objects "
          f"(pays every compile)")
     t0 = time.time()
     run_batched(cfg, flags, data_dir, verbose=False)
     warm_s = time.time() - t0
-    _log(f"config4: warm-up {warm_s:.0f}s; timed pass...")
+    _log(f"config4[{control}]: warm-up {warm_s:.0f}s; timed pass...")
     timings = {}
     t0 = time.time()
     results = run_batched(cfg, flags, data_dir, verbose=False,
                           timings=timings)
     wall = time.time() - t0
     cds = [m["cd"] for m in results.values()]
+    backends = ("qwen_image_edit_20B_int4(1024²,8step,CFG) "
+                if control == "qwen" else "sdxl_controlnet(1024²,30step) "
+                ) + "+ instantmesh(75step) + full registration"
     return {
-        "preset": "config4_full_pipeline_measured",
-        "backends": "sdxl_controlnet(1024²,30step) + instantmesh(75step) "
-                    "+ full registration (SDXL stands in for Qwen-Image: "
-                    "20B bf16 cannot fit one chip)",
+        "preset": f"config4_full_pipeline_measured_{control}",
+        "backends": backends,
         "objects": len(flags), "flags": flags,
         "warmup_s_incl_compile": round(warm_s, 1),
         "wall_s": round(wall, 1),
@@ -355,6 +361,8 @@ def _run_preset(name: str) -> dict:
             return bench_sdxl()
         if name == "config4":
             return bench_config4()
+        if name == "config4_qwen":
+            return bench_config4(control="qwen")
         if name == "flux_q":
             return bench_dit_quant("flux")
         if name == "qwen_q":

@@ -113,6 +113,10 @@ class DiTDepthEdit:
                                       quant_bits=tqb)
             self.txt_budget = None    # T5 encodes at fixed length already
         self.rng = jax.random.PRNGKey(seed)
+        # per-OBJECT noise keys (fold_in of a running counter) instead of
+        # one per-call key: how objects are grouped into device programs
+        # (generate_obj_batch) then cannot change any object's latents
+        self._noise_ctr = 0
         # defaults per variant (reference settings)
         self.steps = 8 if variant == "qwen" else 30
         self.guidance = 4.0 if variant == "qwen" else 10.0
@@ -265,13 +269,19 @@ class DiTDepthEdit:
                                 )[..., :self.dit_cfg.cond_channels]
         return cond_lat
 
+    @staticmethod
+    def _per_object_noise(keys, lat_shape):
+        """keys [B] PRNG keys -> [B, H, W, C] per-object latents."""
+        return jax.vmap(
+            lambda k: jax.random.normal(k, lat_shape[1:]))(keys)
+
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
     def _sample(self, params, cond_img, txt, txt_mask, txt_neg,
-                txt_neg_mask, pooled, rng, steps: int, guidance: float):
+                txt_neg_mask, pooled, keys, steps: int, guidance: float):
         sched = FlowMatchEuler(steps)
         cond_lat = self._cond_latents(params, cond_img)
         lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
-        latents = jax.random.normal(rng, lat_shape)
+        latents = self._per_object_noise(keys, lat_shape)
         body = self._make_body(params, cond_lat, txt, txt_mask, txt_neg,
                                txt_neg_mask, pooled, sched, guidance)
         latents = jax.lax.fori_loop(0, steps, body, latents)
@@ -283,10 +293,10 @@ class DiTDepthEdit:
     # execution under the tunnel watchdog's ~1 min; identical math to
     # _sample — same pattern as controlnet_depth._denoise_chunk)
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _sample_prep(self, params, cond_img, rng):
+    def _sample_prep(self, params, cond_img, keys):
         cond_lat = self._cond_latents(params, cond_img)
         lat_shape = cond_lat.shape[:3] + (self.dit_cfg.in_channels,)
-        return cond_lat, jax.random.normal(rng, lat_shape)
+        return cond_lat, self._per_object_noise(keys, lat_shape)
 
     @functools.partial(jax.jit, static_argnames=("self", "steps"),
                        donate_argnums=(2,))   # donate latents (0 = self)
@@ -338,7 +348,10 @@ class DiTDepthEdit:
         params = self._acquire_params(latent_hw)
         try:
             steps = num_inference_steps or self.steps
-            self.rng, k = jax.random.split(self.rng)
+            b = len(depths01)
+            k = jnp.stack([jax.random.fold_in(self.rng, self._noise_ctr + i)
+                           for i in range(b)])
+            self._noise_ctr += b
             cond = jnp.asarray(depths01 * 2 - 1)
             chunk = int(self.cfg.get("denoise_chunk", 0) or 0) if self.cfg \
                 else 0

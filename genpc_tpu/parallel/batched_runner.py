@@ -476,10 +476,17 @@ def _generate_images(cfg, dp, arts) -> None:
     size = int(cfg.generate_res)
     gen = dp.depth2image
     if hasattr(gen, "generate_batch") and len(arts) > 1:
-        imgs = gen.generate_batch([a.depth for a in arts],
-                                  [a.flag for a in arts], size=size)
-        for art, img in zip(arts, imgs):
-            art.image = np.asarray(img)
+        # generate_obj_batch caps the objects per device program: the
+        # full-size presets' denoise activations scale with B next to
+        # 10+ GB of resident params (0 = all objects in one program)
+        ob = int(cfg.get("generate_obj_batch", 0) or 0)
+        ob = ob if ob > 0 else len(arts)
+        for lo in range(0, len(arts), ob):
+            grp = arts[lo:lo + ob]
+            imgs = gen.generate_batch([a.depth for a in grp],
+                                      [a.flag for a in grp], size=size)
+            for art, img in zip(grp, imgs):
+                art.image = np.asarray(img)
         return
     for art in arts:
         art.image = np.asarray(gen.generate(

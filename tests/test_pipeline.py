@@ -188,3 +188,33 @@ def test_batched_neural_pipeline_tiny(tmp_path):
     assert set(res) == {"01184", "05452"}
     for f, m in res.items():
         assert np.isfinite(m["cd"]), (f, m)
+
+
+def test_generate_obj_batch_chunks_match_single_program(tmp_path):
+    """cfg.generate_obj_batch splits generation into fixed-size object
+    groups (the 20B preset's HBM envelope needs <=2 objects per device
+    program); chunked results must equal the one-program batch."""
+    from genpc_tpu.parallel.batched_runner import _generate_images
+    from genpc_tpu.pipeline.depth_prompting import DepthPrompting
+
+    class Art:
+        def __init__(self, flag, depth):
+            self.flag = flag
+            self.depth = depth
+            self.image = None
+
+    rng = np.random.default_rng(11)
+    depths = [rng.uniform(size=(64, 64)).astype(np.float32)
+              for _ in range(3)]
+    imgs = {}
+    for ob in (0, 2):
+        cfg = _tiny_cfg(tmp_path).merged(dict(
+            control_model="qwen", model_size="tiny", save=False,
+            generate_res=64, generate_obj_batch=ob))
+        dp = DepthPrompting(cfg)
+        arts = [Art(f, d) for f, d in zip(["01184", "05452", "06127"],
+                                          depths)]
+        _generate_images(cfg, dp, arts)
+        imgs[ob] = [a.image for a in arts]
+    for a, b in zip(imgs[0], imgs[2]):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

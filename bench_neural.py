@@ -186,10 +186,14 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
 
     FLUX.1-Depth-dev: int4 transformer (~6 GB) + int4 T5-XXL (~2.4 GB);
     Qwen-Image-Edit: int4 transformer (~10 GB) + int4 Qwen2.5-VL
-    (~4.2 GB) — both exactly the reference's Nunchaku int4 builds (int8
-    FLUX compiles but RESOURCE_EXHAUSTs at runtime next to the T5 on
-    16 GB).  Runs the FULL reference step budget (flux 30 / qwen 8)
-    host-chunked, records HBM param bytes and per-denoise-step ms.
+    (~4.2 GB) — the single-chip int4 deployment analog of the
+    reference's Nunchaku builds (Nunchaku is SVDQuant: low-rank outlier
+    branch + int4 activations; this repo uses per-output-channel absmax
+    weight-only int4 with bf16 activations — see docs/quantization.md
+    for the quality A/B).  int8 FLUX compiles but RESOURCE_EXHAUSTs at
+    runtime next to the T5 on 16 GB.  Runs the FULL reference step
+    budget (flux 30 / qwen 8) host-chunked, records HBM param bytes and
+    per-denoise-step ms.
     """
     import jax
     from genpc_tpu.config import load_config

@@ -178,6 +178,17 @@ class DiTDepthEdit:
         fresh = self._latent_hw != latent_hw or (
             self._params is None and self._params_host is None)
         if fresh:
+            if self._latent_hw is not None and (
+                    self._params is not None
+                    or self._params_host is not None):
+                import warnings
+                warnings.warn(
+                    f"DiTDepthEdit: latent_hw changed "
+                    f"{self._latent_hw}->{latent_hw}; discarding the "
+                    f"installed param tree and re-initializing "
+                    f"(random unless weights_dir is set). Call "
+                    f"set_params(params, latent_hw) with the new size "
+                    f"to keep installed weights.", stacklevel=3)
             self._latent_hw = latent_hw
             params = self._init_params(latent_hw)
             if self.dit_offload:     # keep a host copy for later calls
@@ -189,7 +200,8 @@ class DiTDepthEdit:
             return params
         if self._params is not None:
             return self._params
-        dev = jax.devices()[0]
+        from genpc_tpu.models.qwen_vl import _compute_device
+        dev = _compute_device(self._params_host)
         params = jax.device_put(
             self._params_host, jax.sharding.SingleDeviceSharding(dev))
         jax.block_until_ready(params)

@@ -251,5 +251,11 @@ def tree_bytes(params) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
         n = int(np.prod(leaf.shape))
-        total += n * np.dtype(leaf.dtype).itemsize
+        if "int4" in str(leaf.dtype):
+            # np.dtype(int4).itemsize == 1 would overcount 2x; this repo
+            # nibble-packs int4 into int8 so such a leaf reaching here
+            # means an external/legacy tree (ADVICE r4 #3)
+            total += (n + 1) // 2
+        else:
+            total += n * np.dtype(leaf.dtype).itemsize
     return total

@@ -336,16 +336,42 @@ def image_to_patches(img: np.ndarray, cfg: QwenVLConfig) -> np.ndarray:
     return x.reshape(g * g, -1)
 
 
+def _compute_device(tree=None):
+    """The device compute runs on — i.e. where offloaded params must
+    re-materialize.
+
+    `jax.devices()[0]` is wrong whenever it differs from the effective
+    default device (ADVICE r4 #1): this container force-registers the
+    TPU backend even when tests pin compute to CPU via
+    `jax_default_device`, so a hardcoded devices()[0] silently moves the
+    offload path onto a different backend than the resident path.
+    Resolution order: a device already holding a leaf of `tree`, the
+    configured jax_default_device, then jax.devices()[0].
+    """
+    if tree is not None:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            try:
+                dev = leaf.device
+            except Exception:  # noqa: BLE001 — numpy leaf / multi-device
+                continue
+            if dev is not None and getattr(dev, "platform", None):
+                return dev
+    dflt = jax.config.jax_default_device
+    if dflt is not None and getattr(dflt, "platform", None):
+        return dflt
+    return jax.devices()[0]
+
+
 def _offload_tree(tree):
     """Move a param tree to host memory.
 
-    Prefers the accelerator host's pinned memory (`memory_kind=
+    Prefers the compute device's pinned host memory (`memory_kind=
     'pinned_host'`): re-materialization then rides the TPU's PCIe link
     instead of the client connection.  Backends without memory-kind
     support fall back to client RAM (numpy).
     """
     try:
-        dev = jax.devices()[0]
+        dev = _compute_device(tree)
         s = jax.sharding.SingleDeviceSharding(dev,
                                               memory_kind="pinned_host")
         out = jax.device_put(tree, s)
@@ -441,7 +467,7 @@ class QwenVLEncoder:
         if not self.offload:
             return self.params_text, self.params_vision
         if self._dev is None:
-            dev = jax.devices()[0]
+            dev = _compute_device((self.params_text, self.params_vision))
             s = jax.sharding.SingleDeviceSharding(dev)
             self._dev = jax.device_put(
                 (self.params_text, self.params_vision), s)

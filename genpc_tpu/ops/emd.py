@@ -69,49 +69,76 @@ def _bid_phase(x1: jnp.ndarray, x2: jnp.ndarray, price: jnp.ndarray
     return (bid.reshape(-1)[:n], best.reshape(-1)[:n], better.reshape(-1)[:n])
 
 
-def _emd_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    n = x1.shape[0]
-    x1 = x1.astype(jnp.float32)
-    x2 = x2.astype(jnp.float32)
+def _bid_phase_batched(x1: jnp.ndarray, x2: jnp.ndarray,
+                       price: jnp.ndarray):
+    """[B,n,3]/[B,m,3]/[B,m] -> (bid, best, better) each [B,n].
+
+    On TPU the bid phase runs as a Pallas kernel with VMEM-resident
+    value tiles (ops/emd_kernel.py) — measured ~6x over the row-tiled
+    XLA version, which streams the [rows, m] value matrix through HBM
+    several times per auction iteration."""
+    from genpc_tpu.runtime import use_pallas
+    if use_pallas():
+        from genpc_tpu.ops.emd_kernel import bid_pallas, bid_supported
+        if bid_supported(x1.shape[1], x2.shape[1]):
+            return bid_pallas(x1, x2, price)
+    return jax.vmap(_bid_phase)(x1, x2, price)
+
+
+def _assign_phase(bid, inc, is_last, state):
+    """One object's GetMax/Assign phases (reference emd_cuda.cu:181-215).
+
+    bid/inc [n]; state = (assignment, assignment_inv, price), each [n]."""
+    assignment, assignment_inv, price = state
+    n = assignment.shape[0]
     rows = jnp.arange(n, dtype=jnp.int32)
     neg_inf = jnp.float32(-1e30)
+    unass = assignment == -1
+    inc_masked = jnp.where(unass, inc, neg_inf)
+
+    # GetMax: per-target max increment and (a) max bidder
+    max_inc = jnp.full((n,), neg_inf, jnp.float32).at[bid].max(inc_masked)
+    is_winner = unass & (inc_masked >= max_inc[bid] - 1e-6)
+    # deterministic tie-break: highest row index wins
+    win_row = jnp.full((n,), -1, jnp.int32).at[bid].max(
+        jnp.where(is_winner, rows, -1))
+    wins = unass & (is_last | (win_row[bid] == rows))
+
+    # Assign: evict previous holders (except on the last iteration)
+    evictee = jnp.where(wins & ~is_last, assignment_inv[bid], -1)
+    safe_evictee = jnp.where(evictee >= 0, evictee, n)  # n = dropped
+    assignment = jnp.pad(assignment, (0, 1)).at[safe_evictee].set(-1)[:n]
+    safe_bid = jnp.where(wins, bid, n)
+    assignment_inv = jnp.pad(assignment_inv, (0, 1)).at[safe_bid].set(rows)[:n]
+    assignment = jnp.where(wins, bid, assignment)
+    price = jnp.pad(price, (0, 1)).at[safe_bid].add(
+        jnp.where(wins, inc, 0.0))[:n]
+    return assignment, assignment_inv, price
+
+
+def _emd_batched(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched auction: [B,n,3] x [B,n,3] -> (sq_dists [B,n], assignment
+    [B,n]).  The bid phase runs natively batched (Pallas kernel on TPU);
+    the scatter-based assign phase is vmapped."""
+    B, n = x1.shape[0], x1.shape[1]
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
 
     def body(i, state):
-        assignment, assignment_inv, price = state
         is_last = i == iters - 1
-        unass = assignment == -1
-
-        bid, best, better = _bid_phase(x1, x2, price)
+        bid, best, better = _bid_phase_batched(x1, x2, state[2])
         inc = best - better + eps
-        inc_masked = jnp.where(unass, inc, neg_inf)
+        return jax.vmap(_assign_phase, in_axes=(0, 0, None, 0))(
+            bid, inc, is_last, state)
 
-        # GetMax: per-target max increment and (a) max bidder
-        max_inc = jnp.full((n,), neg_inf, jnp.float32).at[bid].max(inc_masked)
-        is_winner = unass & (inc_masked >= max_inc[bid] - 1e-6)
-        # deterministic tie-break: highest row index wins
-        win_row = jnp.full((n,), -1, jnp.int32).at[bid].max(
-            jnp.where(is_winner, rows, -1))
-        wins = unass & (is_last | (win_row[bid] == rows))
+    state = (jnp.full((B, n), -1, jnp.int32),
+             jnp.full((B, n), -1, jnp.int32),
+             jnp.zeros((B, n), jnp.float32))
+    assignment, _, _ = jax.lax.fori_loop(0, iters, body, state)
 
-        # Assign: evict previous holders (except on the last iteration)
-        evictee = jnp.where(wins & ~is_last, assignment_inv[bid], -1)
-        safe_evictee = jnp.where(evictee >= 0, evictee, n)  # n = dropped
-        assignment = jnp.pad(assignment, (0, 1)).at[safe_evictee].set(-1)[:n]
-        safe_bid = jnp.where(wins, bid, n)
-        assignment_inv = jnp.pad(assignment_inv, (0, 1)).at[safe_bid].set(rows)[:n]
-        assignment = jnp.where(wins, bid, assignment)
-        price = jnp.pad(price, (0, 1)).at[safe_bid].add(
-            jnp.where(wins, inc, 0.0))[:n]
-        return assignment, assignment_inv, price
-
-    assignment = jnp.full((n,), -1, jnp.int32)
-    assignment_inv = jnp.full((n,), -1, jnp.int32)
-    price = jnp.zeros((n,), jnp.float32)
-    assignment, assignment_inv, price = jax.lax.fori_loop(
-        0, iters, body, (assignment, assignment_inv, price))
-
-    matched = x2[jnp.maximum(assignment, 0)]
+    matched = jnp.take_along_axis(
+        x2, jnp.maximum(assignment, 0)[..., None], axis=1)
     dist = jnp.sum((x1 - matched) ** 2, axis=-1)
     return dist, assignment
 
@@ -130,7 +157,7 @@ def _emd_core(eps: float, iters: int):
 
     @jax.custom_vjp
     def core(x1, x2):
-        return jax.vmap(lambda a, b: _emd_single(a, b, eps, iters))(x1, x2)
+        return _emd_batched(x1, x2, eps, iters)
 
     def fwd(x1, x2):
         dist, assignment = core(x1, x2)

@@ -98,6 +98,31 @@ def test_emd_reference_envelope_on_tpu(rng):
     assert wall < 5.0, f"EMD@16384 took {wall:.2f}s on-chip"
 
 
+def test_emd_bid_kernel_matches_xla_on_tpu(rng):
+    """The Pallas bid phase (ops/emd_kernel.py) must agree with the
+    row-tiled XLA bid phase: identical value formula and first-index
+    argmax, so bids match except where two targets tie within float
+    rounding (the two paths expand the distance differently: direct
+    (x-y)^2 vs |x|^2+|y|^2-2xy)."""
+    from genpc_tpu.ops.emd import _bid_phase
+    from genpc_tpu.ops.emd_kernel import bid_pallas
+
+    B, n = 4, 4096
+    x1 = jax.device_put(jnp.asarray(rng.random((B, n, 3)), jnp.float32),
+                        tpu)
+    x2 = jax.device_put(jnp.asarray(rng.random((B, n, 3)), jnp.float32),
+                        tpu)
+    pr = jax.device_put(jnp.asarray(rng.random((B, n)) * 0.1,
+                                    jnp.float32), tpu)
+    bk, bbk, btk = jax.jit(bid_pallas)(x1, x2, pr)
+    bx, bbx, btx = jax.jit(jax.vmap(_bid_phase))(x1, x2, pr)
+    assert (np.asarray(bk) == np.asarray(bx)).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(bbk), np.asarray(bbx),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(btk), np.asarray(btx),
+                               atol=2e-4)
+
+
 def test_deterministic_render_bitwise_on_tpu(rng):
     """Run-to-run bitwise repeatability of the deterministic render +
     gradient on the real chip (scatter-add ordering is the round-1

@@ -219,6 +219,7 @@ def test_marching_tetrahedra_sphere():
     assert (counts == 2).all()
 
 
+@pytest.mark.slow
 def test_lrm_tiny_end_to_end():
     from genpc_tpu.config import load_config
     from genpc_tpu.models.lrm import InstantMeshBackend, LRMConfig, TriplaneLRM
@@ -471,6 +472,7 @@ def test_graft_weights_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_controlnet_chunked_denoise_matches_fused():
     """The host-chunked denoise (full-scale watchdog path) is the same
     math as the single fori_loop — identical schedule and noise keys —
@@ -489,6 +491,7 @@ def test_controlnet_chunked_denoise_matches_fused():
     np.testing.assert_allclose(img1, img2, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_batched_pose_optim_coarse_to_fine_runs():
     """Two-phase pose optimization produces a valid transform batch and
     coarse_frac=0 reproduces the single-phase path."""

@@ -277,6 +277,7 @@ def test_select_best_view_matches_full_density(rng):
     assert counts[chosen] >= 0.95 * counts.max()
 
 
+@pytest.mark.slow
 def test_select_best_view_real_scans_vs_exact_hpr():
     """On all 13 real scans the coarse-to-exact selector must (a) be at
     least as good as the previous full-density z-buffer argmax when both

@@ -83,6 +83,7 @@ def _tiny_reg_cfg():
         pose_render_size=32, fused_points=128, fine_scale_steps=2)
 
 
+@pytest.mark.slow
 def test_batched_reg_dp_matches_single_device():
     """The PRODUCTION batched_reg on a dp mesh must give per-object
     results identical (up to float noise) to the unsharded run
@@ -130,6 +131,7 @@ def test_stage1_core_dp_matches_single_device():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_run_batched_lidar_uhd():
     """Batched Waymo runner end-to-end on 2 real CAR scans (tiny config):
     produces fused clouds and finite UHD per scan (reference flow:
@@ -178,6 +180,7 @@ def test_evaluate_pair_sp_sharded_matches_single_device(rng):
     assert abs(out["cd"] - ref["cd"]) < 1e-5
 
 
+@pytest.mark.slow
 def test_run_batched_timings_and_pipeline():
     """run_batched end-to-end on 2 redwood scans (tiny config): results
     per flag + per-stage wall timings (the bench's fast-path-regression

@@ -96,6 +96,7 @@ def _tiny_mmdit(quant_bits):
     return model, args, kw
 
 
+@pytest.mark.slow
 def test_fp_template_matches_unquantized_structure():
     model_q, args, kw = _tiny_mmdit(8)
     model_f, _, _ = _tiny_mmdit(0)
@@ -130,6 +131,41 @@ def test_quantized_mmdit_forward_close_to_fp(bits, tol):
     assert c > 0.9, c
 
 
+@pytest.mark.slow
+def test_int4_accuracy_at_deployed_width():
+    """int4 relative error at the REAL 20B-preset block width (3072
+    hidden / 24 heads, one double block) — VERDICT r4 #4a.  The tiny-
+    scale bound (45% at width 64) overstates int4 error: per-channel
+    absmax quantization noise averages down with in_dim, so at the
+    deployed width the forward must stay within 10%."""
+    import dataclasses as dc
+
+    from genpc_tpu.models.dit import DiTConfig, MMDiT
+
+    def build(bits):
+        cfg = dc.replace(DiTConfig.preset("qwen"), double_blocks=1,
+                         single_blocks=0, quant_bits=bits)
+        return MMDiT(cfg), cfg
+
+    model_f, cfg = build(0)
+    model_q, _ = build(4)
+    rng = np.random.default_rng(7)
+    lat = jnp.asarray(rng.normal(size=(1, 8, 8, cfg.in_channels)),
+                      jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(1, 8, 8, cfg.cond_channels)),
+                       jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(1, 7, cfg.text_dim)), jnp.float32)
+    args = (lat, jnp.full((1,), 0.5), txt)
+    kw = dict(cond_latents=cond, guidance=jnp.ones((1,)))
+    pf = model_f.init(jax.random.PRNGKey(0), *args, **kw)
+    pq = {"params": quantize_tree(flax_meta.unbox(pf)["params"], 4,
+                                  dit_block_select)}
+    out_f = np.asarray(model_f.apply(pf, *args, **kw), np.float32)
+    out_q = np.asarray(model_q.apply(pq, *args, **kw), np.float32)
+    rel = np.linalg.norm(out_q - out_f) / (np.linalg.norm(out_f) + 1e-9)
+    assert rel < 0.10, rel
+
+
 def test_quantized_tree_is_smaller():
     model_q, args, kw = _tiny_mmdit(8)
     model_f, _, _ = _tiny_mmdit(0)
@@ -141,6 +177,7 @@ def test_quantized_tree_is_smaller():
 
 
 @pytest.mark.parametrize("variant", ["flux", "qwen"])
+@pytest.mark.slow
 def test_dit_depth_tiny_quantized_generates(variant):
     from genpc_tpu.config import load_config
     from genpc_tpu.models.dit_depth import DiTDepthEdit
@@ -290,6 +327,7 @@ def test_dit_chunked_sampler_matches_unchunked():
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vl_encoder_offload_matches_resident():
     """Host-offloaded VL params (the sequential-CPU-offload analog,
     reference tools/qwen_depth.py:60-62) must reproduce the resident
@@ -313,6 +351,7 @@ def test_vl_encoder_offload_matches_resident():
                                   np.asarray(off.encode("hello")))
 
 
+@pytest.mark.slow
 def test_dit_offload_matches_resident():
     """The DiT-param offload window (host-resident between calls,
     materialized for denoise; the full-size Qwen single-chip policy)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from genpc_tpu.render.splat import paint_pixels, raw_depth_images, uvs_to_pixels
 from genpc_tpu.render.inpaint import diffusion_inpaint, inpaint_image
@@ -154,6 +155,7 @@ def test_deterministic_render_matches_scatter():
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pose_optim_repeatable():
     """Repeated pose optimizations on the same inputs must agree exactly
     (the deterministic render kills the round-1 +-1 CD wobble source)."""

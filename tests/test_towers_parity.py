@@ -233,6 +233,7 @@ def test_reference_attention_duplicate_kv_invariance():
     assert float(jnp.abs(changed - plain).max()) > 1e-4
 
 
+@pytest.mark.slow
 def test_dit_generate_batch_shapes():
     """Object-batched denoise: one program, B stacked results."""
     from genpc_tpu.models.dit_depth import DiTDepthEdit
@@ -249,6 +250,7 @@ def test_dit_generate_batch_shapes():
     assert single.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_flux_generate_uses_t5():
     from genpc_tpu.models.dit_depth import DiTDepthEdit
     gen = DiTDepthEdit(variant="flux")

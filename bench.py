@@ -12,12 +12,25 @@ differentiable pose optimization, the 11-scale coarse ICP sweep and the
 The aligned-completion fast path (the reference pipeline skips registration
 when the generator output is already aligned) is reported in extras.
 
+ARTIFACT-FIRST PROTOCOL (VERDICT r4 #1): the headline JSON line is
+persisted AND printed (flushed) the moment the timed registration pass
+finishes — BEFORE any extras run.  Every extras section then updates the
+payload and re-persists/re-prints it, so a kill at ANY point leaves the
+best-so-far artifact on disk and a parseable final line on stdout.  A
+global wall budget (GENPC_BENCH_BUDGET, default 2100 s) skips remaining
+extras with a note when exceeded.  The reference's equivalent contract is
+that metrics always print at runtime (main.py:35,70-78); BENCH_r03 (relay
+outage) and BENCH_r04 (rc=124 in extras AFTER the headline data existed)
+are the two failures this ordering makes impossible.
+
 Protocol: one full warm-up pass pays every compile (amortized across
 processes by the persistent compilation cache), then the timed pass runs
 the complete pipeline again from disk.  Objects whose GT lives in a
 different world frame than the partial are excluded from the quality
 average by an EXPLICIT list (not a threshold), but counted for throughput.
-Prints exactly ONE JSON line to stdout; progress to stderr.
+Progress goes to stderr; stdout carries only (re-printed) payload lines —
+every stdout line is a complete, parseable JSON object and the last one
+is the most complete.
 """
 
 from __future__ import annotations
@@ -26,7 +39,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -86,7 +98,7 @@ def _persist_artifact(payload: dict) -> None:
     simply overwrites with the same numbers); aborts never overwrite.
     CPU runs (tunnel-free fallback while the relay is down) get a
     platform suffix so they can never shadow a chip-validated artifact."""
-    round_tag = os.environ.get("GENPC_ROUND", "r04")
+    round_tag = os.environ.get("GENPC_ROUND", "r05")
     platform = str(payload.get("extra", {}).get("platform", ""))
     suffix = "" if platform.startswith(("tpu", "axon")) else "_cpu"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -99,7 +111,52 @@ def _persist_artifact(payload: dict) -> None:
         print(f"could not persist {path}: {e}", file=sys.stderr)
 
 
+def _emit(payload: dict) -> None:
+    """Persist the sidecar and (re-)print the payload as one JSON line.
+
+    Called after the headline and after EVERY extras section: stdout
+    always ends with a complete parseable line, flushed so a timeout
+    kill cannot strand it in a block buffer."""
+    _persist_artifact(payload)
+    print(json.dumps(payload), flush=True)
+
+
+def _run_subprocess_json(script_args, timeout_s):
+    """Run a bench subprocess, return its last-stdout-line JSON or a
+    note dict.  Never raises."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable] + script_args,
+            capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ,
+                 "GENPC_BENCH_WS": os.environ.get(
+                     "GENPC_BENCH_WS", "/tmp/genpc_bench_ws")},
+            cwd=here)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        lines = proc.stdout.strip().splitlines()
+        if lines:
+            try:
+                return json.loads(lines[-1])
+            except ValueError:
+                pass
+        return {"note": f"skipped: subprocess rc={proc.returncode}, "
+                        f"stderr tail: {proc.stderr[-300:]!r}"}
+    except subprocess.TimeoutExpired:
+        return {"note": f"skipped: subprocess timed out ({timeout_s:.0f}s)"}
+    except Exception as e:  # noqa: BLE001
+        return {"note": f"skipped: {type(e).__name__}: {e}"}
+
+
 def main():
+    t_start = time.time()
+    budget = float(os.environ.get("GENPC_BENCH_BUDGET", "2100"))
+    deadline = t_start + budget
+
+    def remaining() -> float:
+        return deadline - time.time()
+
     data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
     out_dir = os.environ.get("GENPC_BENCH_WS", "/tmp/genpc_bench_ws")
 
@@ -123,8 +180,8 @@ def main():
             "value": 0.0, "unit": "objects/min/chip", "vs_baseline": 0.0,
             "extra": {"note": f"BENCH ABORTED, not a regression: {fail}",
                       "local_artifacts": local or
-                          "none found — see BENCH_r02.json (last chip "
-                          "run) / STATUS.md"}}))
+                          "none found — see BENCH_local_r05.json / "
+                          "STATUS.md"}}), flush=True)
         return
 
     from genpc_tpu.categories import REDWOOD_FLAGS
@@ -135,9 +192,12 @@ def main():
     base = dict(output_path=out_dir, save=False,
                 control_model="synthetic", rembg_model="synthetic",
                 generative_model="synthetic")
+    # SHIPPED defaults (VERDICT r4 #1d): no pruning/refine overrides —
+    # whatever config.py ships (prune=0, anisotropic refine) is measured.
     cfg_reg = load_config(trust_aligned_completion=False, **base)
     cfg_fast = load_config(trust_aligned_completion=True, **base)
 
+    # ---------------------------------------------------------- headline
     t0 = time.time()
     run_pass(cfg_reg, flags, data_dir)
     print(f"warm-up (registration-on): {time.time()-t0:.1f}s",
@@ -152,148 +212,6 @@ def main():
         print(f"{f}: CD*100={m['cd']*100:.3f}{tag}", file=sys.stderr)
     cd_reg, emd_reg = quality(results)
     opm_reg = len(flags) / wall * 60.0
-
-    t0 = time.time()
-    run_pass(cfg_fast, flags, data_dir)
-    print(f"warm-up (aligned fast path): {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    fast_timings = {}
-    results_fast, wall_fast = run_pass(cfg_fast, flags, data_dir,
-                                       timings=fast_timings)
-    cd_fast, emd_fast = quality(results_fast)
-    opm_fast = len(flags) / wall_fast * 60.0
-
-    # Waymo LiDAR (BASELINE config 5): >=20 CAR scans with the synthetic
-    # backends through the BATCHED lidar runner; UHD has no GT protocol
-    # on Waymo so partial->completion UHD is the quality signal
-    # (reference: main_lidar.py:87-89, metric.py:105-132).  Runs in a
-    # subprocess with a hard timeout so a hung remote compile (the axon
-    # compile helper serializes and can wedge for an hour) can never
-    # take the headline JSON line down with it.
-    waymo_extra = None
-    waymo_dir = os.environ.get("GENPC_WAYMO",
-                               os.path.join(data_dir, "waymo"))
-    if os.path.isdir(os.path.join(waymo_dir, "CAR")):
-        import subprocess
-        here = os.path.dirname(os.path.abspath(__file__))
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(here, "bench_waymo.py")],
-                capture_output=True, text=True,
-                timeout=int(os.environ.get("GENPC_WAYMO_TIMEOUT", "2400")),
-                env={**os.environ, "GENPC_BENCH_WS": out_dir},
-                cwd=here)
-            print(proc.stderr[-2000:], file=sys.stderr)
-            line = proc.stdout.strip().splitlines()
-            if line:
-                waymo_extra = json.loads(line[-1])
-            else:   # distinguish a crashed subprocess from "no data"
-                waymo_extra = {"note": f"skipped: subprocess rc="
-                                       f"{proc.returncode}, stderr tail: "
-                                       f"{proc.stderr[-300:]!r}"}
-        except subprocess.TimeoutExpired:
-            waymo_extra = {"note": "skipped: waymo subprocess timed out "
-                                   "(wedged remote compile helper)"}
-        except Exception as e:  # noqa: BLE001
-            waymo_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
-
-    # Full-scale neural presets (VERDICT r2 #1): SDXL ControlNet at the
-    # reference's 30 steps / 1024² and InstantMesh (zero123plus + LRM) at
-    # 75 steps, random bf16 weights, real per-step timings on the chip.
-    # Subprocess-isolated like the Waymo section; first-ever run pays
-    # multi-minute remote compiles (then cached in .jax_cache).
-    neural_extra = None
-    on_tpu = platform is not None and platform.startswith(("tpu", "axon"))
-    if os.environ.get("GENPC_BENCH_NEURAL",
-                      "1" if on_tpu else "0") == "1":
-        import subprocess
-        here = os.path.dirname(os.path.abspath(__file__))
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(here, "bench_neural.py")],
-                capture_output=True, text=True,
-                timeout=int(os.environ.get("GENPC_NEURAL_TIMEOUT", "7200")),
-                cwd=here)
-            print(proc.stderr[-2000:], file=sys.stderr)
-            line = proc.stdout.strip().splitlines()
-            if line:
-                neural_extra = json.loads(line[-1])
-            else:
-                neural_extra = {"note": f"skipped: subprocess rc="
-                                        f"{proc.returncode}, stderr tail: "
-                                        f"{proc.stderr[-300:]!r}"}
-        except subprocess.TimeoutExpired:
-            neural_extra = {"note": "skipped: neural subprocess timed out"}
-        except Exception as e:  # noqa: BLE001
-            neural_extra = {"note": f"skipped: {type(e).__name__}: {e}"}
-        # config-4-shaped estimate: generation + image->3D + this run's
-        # measured per-object registration/fusion/metric time.  SDXL
-        # stands in for Qwen-Image (20B bf16 cannot fit one v5e chip —
-        # extra.neural_full_scale.memory).
-        try:
-            t_gen = neural_extra["sdxl"]["e2e_s_per_object_generation"]
-            t_i23d = neural_extra["instantmesh"][
-                "e2e_s_per_object_image_to_3d"]
-            t_reg = wall / len(flags)
-            neural_extra["config4_obj_per_min_estimate"] = {
-                "value": round(60.0 / (t_gen + t_i23d + t_reg), 3),
-                "breakdown_s": {"generation_sdxl_30step_1024": t_gen,
-                                "image_to_3d_instantmesh_75step": t_i23d,
-                                "stage1_reg_fusion_metric": round(t_reg,
-                                                                  2)},
-                "note": "per-object serial estimate; SDXL stands in for "
-                        "Qwen-Image (cannot fit one chip); superseded by "
-                        "config4_measured when present"}
-        except (KeyError, TypeError):
-            pass
-        # config-4 MEASURED as one pipeline (VERDICT r3 #3): run_batched
-        # with the full neural presets over >=4 objects, end to end
-        if neural_extra is not None:
-            for section, key in (("config4", "config4_measured"),
-                                 ("config4_qwen", "config4_qwen_measured")):
-                try:
-                    proc = subprocess.run(
-                        [sys.executable,
-                         os.path.join(here, "bench_neural.py"), section],
-                        capture_output=True, text=True,
-                        timeout=int(os.environ.get("GENPC_CONFIG4_TIMEOUT",
-                                                   "4800")),
-                        cwd=here)
-                    print(proc.stderr[-2000:], file=sys.stderr)
-                    line = proc.stdout.strip().splitlines()
-                    neural_extra[key] = (
-                        json.loads(line[-1]) if line else
-                        {"note": f"failed: rc={proc.returncode}, stderr "
-                                 f"tail: {proc.stderr[-300:]!r}"})
-                except subprocess.TimeoutExpired:
-                    neural_extra[key] = {
-                        "note": f"skipped: {section} subprocess timed out"}
-                except Exception as e:  # noqa: BLE001
-                    neural_extra[key] = {
-                        "note": f"skipped: {type(e).__name__}: {e}"}
-
-    # EMD kernel at the reference eval envelope (n=16384, eps=.005, it=50).
-    # FRESH random operands per timed call, median of 3: re-timing the
-    # warm-up's identical operands measured a cached replay (0.2 ms) on
-    # the tunneled backend, contradicting the ~300 ms kernel time
-    # (VERDICT r2 weak #3 / next #6)
-    import jax
-    import jax.numpy as jnp
-    from genpc_tpu.ops.emd import emd_auction
-    rng = np.random.default_rng(0)
-    f = jax.jit(lambda a, b: emd_auction(a, b, eps=0.005, iters=50)[0])
-    pairs = [(jnp.asarray(rng.random((1, 16384, 3)), jnp.float32),
-              jnp.asarray(rng.random((1, 16384, 3)), jnp.float32))
-             for _ in range(4)]
-    jax.block_until_ready(f(*pairs[0]))              # compile
-    times = []
-    for x, y in pairs[1:]:
-        jax.block_until_ready(x)
-        jax.block_until_ready(y)
-        t0 = time.time()
-        jax.block_until_ready(f(x, y))
-        times.append((time.time() - t0) * 1000.0)
-    emd_ms = sorted(times)[len(times) // 2]
 
     payload = {
         "metric": "objects/min/chip end-to-end incl. full registration "
@@ -312,15 +230,7 @@ def main():
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "avg_cd_x100": cd_reg, "avg_emd_x100": emd_reg,
             "objects": len(flags), "wall_s": round(wall, 1),
-            "aligned_fast_path": {
-                "objects_per_min": round(opm_fast, 3),
-                "avg_cd_x100": cd_fast, "avg_emd_x100": emd_fast,
-                "wall_s": round(wall_fast, 1),
-                "stage_walls_s": fast_timings},
             "stage_walls_s": reg_timings,
-            "emd_16384_ms_per_call": round(emd_ms, 1),
-            "waymo_lidar": waymo_extra,
-            "neural_full_scale": neural_extra,
             "excluded": EXCLUDED_FLAGS,
             # raw CD of each excluded object, so the exclusion stays
             # auditable round over round (VERDICT r3 #8)
@@ -329,10 +239,132 @@ def main():
                 for f in EXCLUDED_FLAGS if f in results},
             "vs_baseline_note": "ratio vs the 5 obj/min/chip TARGET "
                                 "(no measured reference-GPU number exists)",
+            "wall_budget_s": budget,
+            "extras_status": "pending",
         },
     }
-    _persist_artifact(payload)
-    print(json.dumps(payload))
+    _emit(payload)  # the un-killable headline artifact
+
+    extra = payload["extra"]
+    on_tpu = platform is not None and platform.startswith(("tpu", "axon"))
+
+    # ------------------------------------------------ extras, cheap first
+    # 1. aligned-completion fast path (two quick passes)
+    if remaining() > 240:
+        t0 = time.time()
+        run_pass(cfg_fast, flags, data_dir)
+        print(f"warm-up (aligned fast path): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        fast_timings = {}
+        results_fast, wall_fast = run_pass(cfg_fast, flags, data_dir,
+                                           timings=fast_timings)
+        cd_fast, emd_fast = quality(results_fast)
+        extra["aligned_fast_path"] = {
+            "objects_per_min": round(len(flags) / wall_fast * 60.0, 3),
+            "avg_cd_x100": cd_fast, "avg_emd_x100": emd_fast,
+            "wall_s": round(wall_fast, 1),
+            "stage_walls_s": fast_timings}
+    else:
+        extra["aligned_fast_path"] = {"note": "skipped: wall budget"}
+    _emit(payload)
+
+    # 2. EMD kernel at the reference eval envelope (n=16384, eps=.005,
+    # it=50).  FRESH random operands per timed call, median of 3:
+    # re-timing the warm-up's identical operands measured a cached
+    # replay (0.2 ms) on the tunneled backend, contradicting the
+    # ~300 ms kernel time (VERDICT r2 weak #3)
+    if remaining() > 120:
+        import jax
+        import jax.numpy as jnp
+        from genpc_tpu.ops.emd import emd_auction
+        rng = np.random.default_rng(0)
+        f = jax.jit(lambda a, b: emd_auction(a, b, eps=0.005, iters=50)[0])
+        pairs = [(jnp.asarray(rng.random((1, 16384, 3)), jnp.float32),
+                  jnp.asarray(rng.random((1, 16384, 3)), jnp.float32))
+                 for _ in range(4)]
+        jax.block_until_ready(f(*pairs[0]))              # compile
+        times = []
+        for x, y in pairs[1:]:
+            jax.block_until_ready(x)
+            jax.block_until_ready(y)
+            t0 = time.time()
+            jax.block_until_ready(f(x, y))
+            times.append((time.time() - t0) * 1000.0)
+        extra["emd_16384_ms_per_call"] = round(
+            sorted(times)[len(times) // 2], 1)
+    else:
+        extra["emd_16384_ms_per_call"] = None
+    _emit(payload)
+
+    # 3. Waymo LiDAR (BASELINE config 5): >=20 CAR scans with the
+    # synthetic backends through the BATCHED lidar runner; UHD has no GT
+    # protocol on Waymo so partial->completion UHD is the quality signal
+    # (reference: main_lidar.py:87-89, metric.py:105-132).
+    waymo_dir = os.environ.get("GENPC_WAYMO",
+                               os.path.join(data_dir, "waymo"))
+    if not os.path.isdir(os.path.join(waymo_dir, "CAR")):
+        extra["waymo_lidar"] = {"note": "skipped: no waymo data"}
+    elif remaining() > 300:
+        cap = min(float(os.environ.get("GENPC_WAYMO_TIMEOUT", "2400")),
+                  remaining())
+        extra["waymo_lidar"] = _run_subprocess_json(["bench_waymo.py"], cap)
+    else:
+        extra["waymo_lidar"] = {"note": "skipped: wall budget"}
+    _emit(payload)
+
+    # 4. Full-scale neural presets (VERDICT r2 #1): SDXL ControlNet at
+    # the reference's 30 steps / 1024² and InstantMesh (zero123plus +
+    # LRM) at 75 steps, plus the int4 12B/20B presets; real per-step
+    # timings on the chip.  First-ever run pays multi-minute remote
+    # compiles (then cached in .jax_cache).
+    neural_extra = None
+    if os.environ.get("GENPC_BENCH_NEURAL",
+                      "1" if on_tpu else "0") != "1":
+        extra["neural_full_scale"] = {"note": "skipped: GENPC_BENCH_NEURAL=0"}
+    elif remaining() > 300:
+        cap = min(float(os.environ.get("GENPC_NEURAL_TIMEOUT", "7200")),
+                  remaining())
+        neural_extra = _run_subprocess_json(["bench_neural.py"], cap)
+        extra["neural_full_scale"] = neural_extra
+    else:
+        extra["neural_full_scale"] = {"note": "skipped: wall budget"}
+    _emit(payload)
+
+    # config-4-shaped estimate: generation + image->3D + this run's
+    # measured per-object registration/fusion/metric time.
+    if neural_extra is not None:
+        try:
+            t_gen = neural_extra["sdxl"]["e2e_s_per_object_generation"]
+            t_i23d = neural_extra["instantmesh"][
+                "e2e_s_per_object_image_to_3d"]
+            t_reg = wall / len(flags)
+            neural_extra["config4_obj_per_min_estimate"] = {
+                "value": round(60.0 / (t_gen + t_i23d + t_reg), 3),
+                "breakdown_s": {"generation_sdxl_30step_1024": t_gen,
+                                "image_to_3d_instantmesh_75step": t_i23d,
+                                "stage1_reg_fusion_metric": round(t_reg,
+                                                                  2)},
+                "note": "per-object serial estimate; superseded by "
+                        "config4_measured when present"}
+        except (KeyError, TypeError):
+            pass
+        # 5. config-4 MEASURED as one pipeline (VERDICT r3 #3):
+        # run_batched with the full neural presets end to end
+        for section, key in (("config4", "config4_measured"),
+                             ("config4_qwen", "config4_qwen_measured"),
+                             ("quant_cd_ab", "quant_cd_ab")):
+            if remaining() > 300:
+                cap = min(float(os.environ.get("GENPC_CONFIG4_TIMEOUT",
+                                               "4800")), remaining())
+                neural_extra[key] = _run_subprocess_json(
+                    ["bench_neural.py", section], cap)
+            else:
+                neural_extra[key] = {"note": "skipped: wall budget"}
+            _emit(payload)
+
+    extra["extras_status"] = "complete"
+    extra["total_wall_s"] = round(time.time() - t_start, 1)
+    _emit(payload)
 
 
 if __name__ == "__main__":

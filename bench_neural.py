@@ -57,6 +57,106 @@ def _log(msg):
     print(f"[bench_neural] {msg}", file=sys.stderr, flush=True)
 
 
+# v5e peaks (jax-ml.github.io/scaling-book numbers); overridable when the
+# bench runs on a different part
+import os  # noqa: E402
+
+PEAK_BF16_TFLOPS = float(os.environ.get("GENPC_PEAK_TFLOPS", "197"))
+HBM_GBPS = float(os.environ.get("GENPC_HBM_GBPS", "819"))
+
+
+def _lowered_flops(fn, *args, **kw):
+    """Exact HLO FLOPs of fn at the given operands (ShapeDtypeStructs are
+    fine) via client-side cost analysis of the lowering — no device
+    compile, no materialized params."""
+    import jax
+    try:
+        ca = jax.jit(fn).lower(*args, **kw).cost_analysis()
+        fl = (ca or {}).get("flops")
+        return float(fl) if fl and fl > 0 else None
+    except Exception as e:  # noqa: BLE001
+        _log(f"flops lowering failed: {type(e).__name__}: {e}")
+        return None
+
+
+def _mfu_fields(flops, wall_ms, param_hbm_bytes=None):
+    """MFU/roofline accounting (VERDICT r4 #3): relate a measured wall to
+    what the chip can do.  flops = FLOPs of the measured unit; wall_ms =
+    its measured wall; param_hbm_bytes adds the weight-bytes roofline
+    (a weight-streaming lower bound: every param byte must cross HBM
+    once per eval)."""
+    if not flops or not wall_ms:
+        return None
+    tflops = flops / (wall_ms / 1e3) / 1e12
+    out = {
+        "flops": int(flops),
+        "achieved_tflops": round(tflops, 1),
+        "pct_of_peak_bf16": round(100.0 * tflops / PEAK_BF16_TFLOPS, 1),
+        "peak_bf16_tflops_assumed": PEAK_BF16_TFLOPS,
+    }
+    if param_hbm_bytes:
+        roof_ms = param_hbm_bytes / (HBM_GBPS * 1e9) * 1e3
+        out["weight_roofline_ms"] = round(roof_ms, 1)
+        out["pct_of_weight_roofline"] = round(100.0 * roof_ms / wall_ms, 1)
+        out["hbm_gbps_assumed"] = HBM_GBPS
+    return out
+
+
+def _dit_flops_per_eval(cfgm, hw: int, txt_len: int = 512) -> float | None:
+    """One transformer evaluation of an MMDiT config at [1, hw, hw]
+    latents — the unit 'per_transformer_eval_ms' measures (CFG = 2
+    evals/step).  Takes the DiTConfig, NOT a backend: constructing a
+    full DiTDepthEdit just for accounting would materialize the 8.3B
+    VL tower.
+
+    Tracing the full 60-block 20B model just to count FLOPs takes many
+    minutes of host CPU; HLO cost analysis is additive per op, so lower
+    tiny variants with (0,0), (1,0) and (0,1) blocks and scale the
+    per-block deltas by the real block counts."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from genpc_tpu.models.dit import MMDiT
+    sd = jax.ShapeDtypeStruct
+    lat = sd((1, hw, hw, cfgm.in_channels), jnp.float32)
+    cond = sd((1, hw, hw, cfgm.cond_channels), jnp.float32)
+    txt = sd((1, txt_len, cfgm.text_dim), jnp.float32)
+    mask = sd((1, txt_len), jnp.bool_)
+    t = sd((1,), jnp.float32)
+    g = sd((1,), jnp.float32)
+    kw = {}
+    if cfgm.pooled_dim:
+        kw["pooled"] = sd((1, cfgm.pooled_dim), jnp.float32)
+
+    def flops_at(nd: int, ns: int) -> float | None:
+        c = dataclasses.replace(cfgm, double_blocks=nd, single_blocks=ns)
+        model = MMDiT(c)
+        # structs must ride as eval_shape ARGS (closure-captured structs
+        # reach jnp ops as raw ShapeDtypeStruct and TypeError)
+        shapes = jax.eval_shape(
+            lambda l, tt, tx, cc, gg, mm, **kw2: model.init(
+                jax.random.PRNGKey(0), l, tt, tx, cond_latents=cc,
+                guidance=gg, txt_mask=mm, **kw2),
+            lat, t, txt, cond, g, mask, **kw)
+
+        def f(p, lat, t, txt, mask, cond, g, pooled=None):
+            return model.apply(p, lat, t, txt, pooled=pooled,
+                               cond_latents=cond, guidance=g,
+                               txt_mask=mask)
+
+        return _lowered_flops(f, shapes, lat, t, txt, mask, cond, g, **kw)
+
+    f00 = flops_at(0, 0)
+    f10 = flops_at(1, 0) if cfgm.double_blocks else f00
+    f01 = flops_at(0, 1) if cfgm.single_blocks else f00
+    if f00 is None or f10 is None or f01 is None:
+        return None
+    return (f00 + cfgm.double_blocks * (f10 - f00)
+            + cfgm.single_blocks * (f01 - f00))
+
+
 def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     import jax
     from genpc_tpu.config import load_config
@@ -103,14 +203,45 @@ def bench_sdxl(size: int = 1024, steps: int = 30, chunk: int = 5) -> dict:
     e2e_s = min(e2e_samples)
     assert img.shape == (size, size, 3)
 
+    # MFU (VERDICT r4 #3): FLOPs of ONE denoise step = controlnet +
+    # conditional unet + unconditional unet (the reference's CFG loop,
+    # tools/controlnet_depth.py:55-111), from client-side cost analysis
+    def one_step(p, x, t, ctx, ctxn, cimg, added):
+        mid_c, down_c = be.controlnet.apply(
+            p["controlnet"], x, t, ctx, cimg, added_cond=added,
+            conditioning_scale=1.0)
+        eps_c = be.unet.apply(p["unet"], x, t, ctx, added_cond=added,
+                              control_residuals=(mid_c, down_c))
+        eps_u = be.unet.apply(p["unet"], x, t, ctxn, added_cond=added)
+        return eps_c + eps_u
+
+    import jax.numpy as jnp2
+    sd = jax.ShapeDtypeStruct
+    ucfg = be.unet_cfg
+    try:
+        step_flops = _lowered_flops(
+            one_step, shapes,
+            sd((1, hw, hw, ucfg.in_channels), jnp2.float32),
+            sd((1,), jnp2.float32),
+            sd((1, 77, ucfg.context_dim), jnp2.float32),
+            sd((1, 77, ucfg.context_dim), jnp2.float32),
+            sd((1, size, size, 3), jnp2.float32),
+            sd((1, ucfg.addition_embed_dim), jnp2.float32)
+            if ucfg.addition_embed_dim else None)
+    except Exception as e:  # noqa: BLE001 — never lose the measurements
+        _log(f"sdxl flops accounting failed: {type(e).__name__}: {e}")
+        step_flops = None
+    step_ms = e2e_s * 1000.0 / steps
     return {
         "preset": "sdxl_controlnet_full", "params": n_params,
         "resolution": size, "steps": steps,
         "param_init_s": round(init_s, 1),
         "first_call_s_incl_compile": round(compile_and_first_s, 1),
-        "per_denoise_step_ms_amortized": round(e2e_s * 1000.0 / steps, 1),
+        "per_denoise_step_ms_amortized": round(step_ms, 1),
         "e2e_s_per_object_generation": round(e2e_s, 2),
         "config3_obj_per_min_generation_stage": round(60.0 / e2e_s, 2),
+        "mfu_per_denoise_step": _mfu_fields(
+            step_flops, step_ms, param_hbm_bytes=n_params * 2),
     }
 
 
@@ -233,6 +364,18 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
     assert img.shape == (size, size, 3)
     # qwen runs true CFG: 2 transformer evaluations per step
     evals = steps * (2 if variant == "qwen" else 1)
+    eval_ms = e2e_s * 1000.0 / evals
+    # MFU / roofline (VERDICT r4 #3): FLOPs from client-side HLO cost
+    # analysis at the exact eval shapes; eval_ms is amortized over the
+    # full generate (incl. VAE + prompt encode + offload windows), so
+    # the MFU is a lower bound on the transformer's own utilization.
+    # Guarded: an accounting failure must never lose the measurements
+    # (a qwen_q run died to exactly that).
+    try:
+        mfu = _mfu_fields(_dit_flops_per_eval(be.dit_cfg, hw), eval_ms,
+                          param_hbm_bytes=int(pbytes))
+    except Exception as e:  # noqa: BLE001
+        mfu = {"note": f"flops accounting failed: {type(e).__name__}: {e}"}
     return {
         "preset": f"{variant}_full_quantized_single_chip",
         "quant_bits_dit": be.dit_cfg.quant_bits,
@@ -242,9 +385,163 @@ def bench_dit_quant(variant: str = "flux", size: int = 1024,
         "first_call_s_incl_compile": round(first_s, 1),
         "e2e_s_per_object_generation": round(e2e_s, 2),
         "per_denoise_step_ms_amortized": round(e2e_s * 1000.0 / steps, 1),
-        "per_transformer_eval_ms": round(e2e_s * 1000.0 / evals, 1),
+        "per_transformer_eval_ms": round(eval_ms, 1),
+        "mfu_per_transformer_eval": mfu,
         "note": "random weights in the DEPLOYED int storage dtypes; "
                 "compute cost identical to a quantized checkpoint",
+    }
+
+
+def bench_quant_micro(T: int = 4608, din: int = 3072, dout: int = 12288,
+                      iters: int = 32) -> dict:
+    """Anti-LICM barrier cost A/B at deployed MMDiT width (VERDICT r4
+    #3): one int4 matmul (the 20B preset's MLP shape, 3072 -> 12288, at
+    the 1024² joint sequence length) inside a fori_loop, three ways:
+
+    * barrier ON — the shipped QuantDense path: dequant stays in-loop,
+      transient (models/quant.py:147);
+    * barrier OFF — XLA LICM hoists the dequant out of the loop: the
+      steady-state upper bound, at a resident-memory cost that scales
+      with model depth (20.2 GB observed for the full 20B preset);
+    * bf16 dense — the pure-MXU ceiling for the same matmul.
+
+    Also records the analytic rooflines: MXU time at peak bf16 and the
+    int4 weight-bytes HBM time.
+    """
+    import jax
+    import jax.numpy as jnp
+    from genpc_tpu.models.quant import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(pack_int4(jnp.asarray(
+        rng.integers(-7, 8, (din, dout)), jnp.int32)))
+    scale = jnp.full((dout,), 1e-2, jnp.float32)
+    kb = jnp.asarray(rng.standard_normal((din, dout)), jnp.bfloat16)
+    xs = [jnp.asarray(rng.standard_normal((T, din)), jnp.bfloat16)
+          for _ in range(3)]
+
+    def mm_q(barrier):
+        def f(w, x):
+            if barrier:
+                w, x = jax.lax.optimization_barrier((w, x))
+            k = unpack_int4(w).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(x, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return (y * scale).astype(jnp.bfloat16)
+        return f
+
+    def mm_b(w, x):
+        y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y.astype(jnp.bfloat16)
+
+    def timed_loop(fn, w):
+        @jax.jit
+        def run(x):
+            def body(i, x):
+                y = fn(w, x)
+                return y[:, :din] + x      # feed back so iterations chain
+            # reduce to a SCALAR on-device: fetching a [T, din] result
+            # through the tunnel costs ~0.5-1 s and would swamp the
+            # per-iteration time (the tunnel fetch is an environment
+            # artifact, not part of the kernel cost)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+        np.asarray(run(xs[0]))             # compile + first
+        ts = []
+        for x in xs[1:]:
+            t0 = time.time()
+            np.asarray(run(x))
+            ts.append(time.time() - t0)
+        return min(ts) / iters * 1000.0    # ms per iteration
+
+    ms_on = timed_loop(mm_q(True), packed)
+    ms_off = timed_loop(mm_q(False), packed)
+    ms_bf16 = timed_loop(mm_b, kb)
+    flops = 2.0 * T * din * dout
+    return {
+        "preset": "quant_dense_micro_anti_licm_ab",
+        "shape": f"[{T},{din}]x[{din},{dout}] int4, {iters}-step loop",
+        "per_iter_ms": {
+            "int4_barrier_on_shipped": round(ms_on, 2),
+            "int4_barrier_off_licm_hoisted": round(ms_off, 2),
+            "bf16_dense": round(ms_bf16, 2),
+        },
+        "barrier_overhead_pct": round(100.0 * (ms_on - ms_off) / ms_off, 1)
+        if ms_off else None,
+        "mfu_barrier_on": _mfu_fields(flops, ms_on,
+                                      param_hbm_bytes=din * dout // 2),
+        "mxu_roofline_ms": round(flops / (PEAK_BF16_TFLOPS * 1e12) * 1e3,
+                                 2),
+        "int4_weight_hbm_ms": round(din * dout / 2 / (HBM_GBPS * 1e9)
+                                    * 1e3, 3),
+        "calibration_note": "bf16_dense is the same loop with a plain "
+                            "bf16 matmul — the chip's ACHIEVABLE matmul "
+                            "rate through this harness (the honest MFU "
+                            "denominator); outputs reduce to a scalar "
+                            "on-device so the ~0.5-1 s tunnel fetch of a "
+                            "[T,din] array cannot pollute per-iter time",
+    }
+
+
+def bench_quant_cd_ab(n_objects: int = 13, size: int = 256,
+                      steps: int | None = None) -> dict:
+    """End-to-end int4-vs-bf16 CD with the SAME DiT weights (VERDICT r4
+    #4b): run the 13-object pipeline twice — once with a mid-size
+    ('base', 768-wide/12-head) bf16 MMDiT, once with the SAME weights
+    int4-quantized (quantize_tree) — identical seeds everywhere, so any
+    CD delta is attributable to weight quantization alone.  The
+    reference ships int4 end-to-end as its default
+    (tools/qwen_depth.py:50-62); this measures what that costs here.
+    """
+    import os
+    from genpc_tpu.categories import REDWOOD_FLAGS
+    from genpc_tpu.config import load_config
+    from genpc_tpu.models.dit_depth import DiTDepthEdit
+    from genpc_tpu.models.quant import dit_block_select, quantize_tree
+    from genpc_tpu.parallel.batched_runner import run_batched
+    from genpc_tpu.pipeline.depth_prompting import DepthPrompting
+
+    data_dir = os.environ.get("GENPC_DATA", "/root/reference/data")
+    flags = [f for f in REDWOOD_FLAGS
+             if os.path.exists(os.path.join(data_dir, f"{f}.ply"))
+             ][:n_objects]
+    results, fp_params = {}, None
+    for arm, qb in (("bf16", 0), ("int4", 4)):
+        cfg = load_config(
+            save=False, output_path="/tmp/genpc_quantab_ws",
+            control_model="flux", generative_model="synthetic",
+            rembg_model="synthetic", model_size="base",
+            quant_bits=qb, tower_quant_bits=0, generate_res=size,
+            trust_aligned_completion=False)
+        be = DiTDepthEdit(cfg, variant="flux", seed=0)
+        if steps:
+            be.steps = steps
+        hw = size // be.factor
+        if fp_params is None:
+            fp_params = be._init_params(hw)
+            be.set_params(fp_params, hw)
+        else:
+            qp = dict(fp_params)
+            qp["dit"] = {"params": quantize_tree(
+                fp_params["dit"]["params"], 4, dit_block_select)}
+            be.set_params(qp, hw)
+        _log(f"quant_cd_ab[{arm}]: {len(flags)} objects at base/{size}²")
+        dp = DepthPrompting(cfg, depth2image=be)
+        res = run_batched(cfg, flags, data_dir, verbose=False, dp=dp)
+        results[arm] = {f: round(m["cd"] * 100, 3) for f, m in res.items()}
+    deltas = {f: round(results["int4"][f] - results["bf16"][f], 3)
+              for f in results["bf16"]}
+    return {
+        "preset": "quant_cd_ab_base_flux_same_weights",
+        "objects": len(flags), "resolution": size,
+        "cd_x100_bf16": results["bf16"],
+        "cd_x100_int4": results["int4"],
+        "cd_x100_delta_int4_minus_bf16": deltas,
+        "mean_abs_delta_cd_x100": round(
+            float(np.mean(np.abs(list(deltas.values())))), 3),
+        "note": "same fp weights both arms (int4 = quantize_tree of the "
+                "bf16 tree), identical seeds; synthetic image->3D so "
+                "the delta isolates the DiT quantization",
     }
 
 
@@ -371,6 +668,10 @@ def _run_preset(name: str) -> dict:
             return bench_dit_quant("flux")
         if name == "qwen_q":
             return bench_dit_quant("qwen")
+        if name == "quant_micro":
+            return bench_quant_micro()
+        if name == "quant_cd_ab":
+            return bench_quant_cd_ab()
         return bench_instantmesh()
     except Exception as e:  # noqa: BLE001
         return {"note": f"failed: {type(e).__name__}: {e}"}
@@ -383,7 +684,8 @@ def main():
     one TPU client may live at a time — so they run sequentially."""
     import subprocess
     out = {}
-    for name in ("sdxl", "instantmesh", "flux_q", "qwen_q"):
+    for name in ("sdxl", "instantmesh", "flux_q", "qwen_q",
+                 "quant_micro"):
         proc = subprocess.run(
             [sys.executable, __file__, name], capture_output=True,
             text=True)

@@ -78,6 +78,13 @@ def main():
                                    waymo_dir, warm=False)
     except Exception as e:  # noqa: BLE001 — CAR numbers still count
         out["ped"] = {"note": f"failed: {type(e).__name__}: {e}"}
+    # OTHER ships with the reference dataset (2 scans; enumerated by
+    # main_lidar.py:50-51) but was never benched before round 5
+    try:
+        out["other"] = _run_category("OTHER", "lidar.yaml", limit,
+                                     waymo_dir, warm=False)
+    except Exception as e:  # noqa: BLE001
+        out["other"] = {"note": f"failed: {type(e).__name__}: {e}"}
     print(json.dumps(out))
 
 

@@ -109,6 +109,10 @@ DEFAULTS: Dict[str, Any] = dict(
     pose_prune_starts=0,
     emd_eps=0.005,
     emd_iters=50,
+    # fusion denoise (statistical outlier removal; reference:
+    # reg_xyz.py:219 / dataUtils.py:652-666 std 2.5)
+    denoise_neighbors=20,
+    denoise_std=2.5,
     input_points=65536,            # fixed input resampling (one compile/run)
     # skip registration when the image-to-3D backend declares its output
     # already lives in the input frame (synthetic mirror completion does;

@@ -77,6 +77,18 @@ class DiTConfig:
                        text_dim=64, pooled_dim=0, guidance_embed=False,
                        txt_input_norm=True, cond_mode="sequence",
                        axes_dim=(4, 6, 6))
+        if name == "base":
+            # mid-size A/B scale: real enough width (768/12-head) for
+            # quantization-noise averaging, small enough to run anywhere
+            return cls(hidden_dim=768, num_heads=12, double_blocks=4,
+                       single_blocks=8, in_channels=4, cond_channels=4,
+                       text_dim=64, pooled_dim=64, axes_dim=(16, 24, 24))
+        if name == "base_qwen":
+            return cls(hidden_dim=768, num_heads=12, double_blocks=8,
+                       single_blocks=0, in_channels=4, cond_channels=4,
+                       text_dim=64, pooled_dim=0, guidance_embed=False,
+                       txt_input_norm=True, cond_mode="sequence",
+                       axes_dim=(16, 24, 24))
         if name == "flux":
             # FLUX.1-Depth-dev: x_embedder in = 2*2*(16+16) = 128
             return cls()

@@ -87,6 +87,9 @@ class DiTDepthEdit:
                                  cfg.get("quant_bits") if cfg else None)
         if self.full:
             base = DiTConfig.preset(variant)
+        elif size == "base":
+            base = DiTConfig.preset(
+                "base_qwen" if variant == "qwen" else "base")
         else:
             base = DiTConfig.preset(
                 "tiny_qwen" if variant == "qwen" else "tiny")

@@ -43,6 +43,7 @@ def run_pass(cfg, flags, data_dir):
 ARMS = {
     "prune1_aniso": dict(pose_prune_starts=1, final_refine="anisotropic"),
     "prune0_aniso": dict(pose_prune_starts=0, final_refine="anisotropic"),
+    "prune2_aniso": dict(pose_prune_starts=2, final_refine="anisotropic"),
     "prune1_affine": dict(pose_prune_starts=1, final_refine="affine"),
 }
 

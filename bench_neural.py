@@ -506,7 +506,7 @@ def bench_quant_cd_ab(n_objects: int = 13, size: int = 256,
              if os.path.exists(os.path.join(data_dir, f"{f}.ply"))
              ][:n_objects]
     results, fp_params = {}, None
-    for arm, qb in (("bf16", 0), ("int4", 4)):
+    for arm, qb in (("bf16", 0), ("int8", 8), ("int4", 4)):
         cfg = load_config(
             save=False, output_path="/tmp/genpc_quantab_ws",
             control_model="flux", generative_model="synthetic",
@@ -523,26 +523,29 @@ def bench_quant_cd_ab(n_objects: int = 13, size: int = 256,
         else:
             qp = dict(fp_params)
             qp["dit"] = {"params": quantize_tree(
-                fp_params["dit"]["params"], 4, dit_block_select)}
+                fp_params["dit"]["params"], qb, dit_block_select)}
             be.set_params(qp, hw)
         _log(f"quant_cd_ab[{arm}]: {len(flags)} objects at base/{size}²")
         dp = DepthPrompting(cfg, depth2image=be)
         res = run_batched(cfg, flags, data_dir, verbose=False, dp=dp)
         results[arm] = {f: round(m["cd"] * 100, 3) for f, m in res.items()}
-    deltas = {f: round(results["int4"][f] - results["bf16"][f], 3)
-              for f in results["bf16"]}
-    return {
+    out = {
         "preset": "quant_cd_ab_base_flux_same_weights",
         "objects": len(flags), "resolution": size,
-        "cd_x100_bf16": results["bf16"],
-        "cd_x100_int4": results["int4"],
-        "cd_x100_delta_int4_minus_bf16": deltas,
-        "mean_abs_delta_cd_x100": round(
-            float(np.mean(np.abs(list(deltas.values())))), 3),
-        "note": "same fp weights both arms (int4 = quantize_tree of the "
-                "bf16 tree), identical seeds; synthetic image->3D so "
-                "the delta isolates the DiT quantization",
+        "note": "same fp weights all arms (int8/int4 = quantize_tree of "
+                "the bf16 tree), identical seeds; synthetic image->3D "
+                "so the delta isolates the DiT quantization (ADVICE r4 "
+                "#2's int4-vs-int8 quality question included)",
     }
+    for arm, cds in results.items():
+        out[f"cd_x100_{arm}"] = cds
+    for arm in ("int8", "int4"):
+        deltas = {f: round(results[arm][f] - results["bf16"][f], 3)
+                  for f in results["bf16"]}
+        out[f"cd_x100_delta_{arm}_minus_bf16"] = deltas
+        out[f"mean_abs_delta_cd_x100_{arm}"] = round(
+            float(np.mean(np.abs(list(deltas.values())))), 3)
+    return out
 
 
 def bench_config4(n_objects: int = 4, control: str = "controlnet") -> dict:

@@ -659,6 +659,34 @@ def memory_notes() -> dict:
     }
 
 
+ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_artifacts")
+
+
+def persist_section(name: str, result: dict) -> None:
+    """Write a completed section's JSON to bench_artifacts/<name>.json.
+
+    These per-section artifacts are the durable record of the expensive
+    neural measurements (a full qwen_q run costs ~15 min warm, ~45 min
+    cold): bench.py embeds them (marked "cached") into its sidecar when
+    the wall budget cannot afford a fresh subprocess, so a driver bench
+    with ANY budget still carries machine-readable numbers for every
+    section that has ever completed (VERDICT r4 missing #2)."""
+    if "note" in result and str(result.get("note", "")).startswith(
+            ("failed", "skipped")):
+        return
+    try:
+        os.makedirs(ARTIFACT_DIR, exist_ok=True)
+        result = dict(result)
+        result.setdefault("recorded_at", time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        with open(os.path.join(ARTIFACT_DIR, f"{name}.json"), "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        _log(f"could not persist section {name}: {e}")
+
+
 def _run_preset(name: str) -> dict:
     try:
         if name == "sdxl":
@@ -702,6 +730,8 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
-        print(json.dumps(_run_preset(sys.argv[1])))
+        res = _run_preset(sys.argv[1])
+        persist_section(sys.argv[1], res)
+        print(json.dumps(res))
     else:
         main()

@@ -68,12 +68,29 @@ HBM_GBPS = float(os.environ.get("GENPC_HBM_GBPS", "819"))
 def _lowered_flops(fn, *args, **kw):
     """Exact HLO FLOPs of fn at the given operands (ShapeDtypeStructs are
     fine) via client-side cost analysis of the lowering — no device
-    compile, no materialized params."""
+    compile, no materialized params.
+
+    The axon TPU plugin's lowering reports no positive 'flops' (observed:
+    the sdxl section's MFU silently landed null on-chip while the same
+    lowering on CPU counts fine), so when the default-backend analysis
+    comes back empty, re-lower for the CPU target — FLOPs of the
+    unoptimized HLO are platform-independent arithmetic counts."""
     import jax
-    try:
-        ca = jax.jit(fn).lower(*args, **kw).cost_analysis()
+
+    def _count(backend):
+        jfn = jax.jit(fn, backend=backend) if backend else jax.jit(fn)
+        ca = jfn.lower(*args, **kw).cost_analysis()
         fl = (ca or {}).get("flops")
         return float(fl) if fl and fl > 0 else None
+
+    try:
+        out = _count(None)
+        if out is None:
+            out = _count("cpu")
+            if out is None:
+                _log("flops cost analysis empty on default AND cpu "
+                     "lowerings")
+        return out
     except Exception as e:  # noqa: BLE001
         _log(f"flops lowering failed: {type(e).__name__}: {e}")
         return None
@@ -578,9 +595,11 @@ def bench_config4(n_objects: int = 4, control: str = "controlnet") -> dict:
         trust_aligned_completion=False,
         generate_res=1024, denoise_chunk=5 if control != "qwen" else 2,
         image23d_batch=2,
-        # 20B denoise activations scale with B next to 10.7 GB params:
-        # two objects per device program is the 16 GB HBM envelope
-        generate_obj_batch=2 if control == "qwen" else 0)
+        # denoise activations scale with B next to the resident params
+        # (20B int4 = 10.7 GB; SDXL+ControlNet bf16 ~= 8 GB): two
+        # objects per device program is the 16 GB HBM envelope — B=4
+        # SDXL at 1024² RESOURCE_EXHAUSTs (first config4 chip run)
+        generate_obj_batch=2)
     _log(f"config4[{control}]: warm-up pass over {len(flags)} objects "
          f"(pays every compile)")
     t0 = time.time()
@@ -705,7 +724,12 @@ def _run_preset(name: str) -> dict:
             return bench_quant_cd_ab()
         return bench_instantmesh()
     except Exception as e:  # noqa: BLE001
-        return {"note": f"failed: {type(e).__name__}: {e}"}
+        import traceback
+        tb = traceback.format_exc().splitlines()
+        # keep the last in-repo frame so an OOM names its pipeline stage
+        frames = [l.strip() for l in tb if "/repo/" in l or "genpc" in l]
+        return {"note": f"failed: {type(e).__name__}: {e}",
+                "last_frames": frames[-4:]}
 
 
 def main():

@@ -660,8 +660,9 @@ def memory_notes() -> dict:
             "note": "bf16 needs >= 4 v5e chips tensor-parallel ('tp' "
                     "axes annotated on every kernel); the single-chip "
                     "path is weight-only int4 DiT + int4 T5 "
-                    "(models/quant.py), exactly the reference's "
-                    "Nunchaku int4 build — executed in the flux_q "
+                    "(models/quant.py), the single-chip int4 deployment "
+                    "analog of the reference's Nunchaku build — "
+                    "executed in the flux_q "
                     "bench section.  int8 DiT (~12 GB) compiles but "
                     "RESOURCE_EXHAUSTs at runtime next to the T5 on "
                     "the 16 GB chip"},

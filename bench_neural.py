@@ -594,12 +594,17 @@ def bench_config4(n_objects: int = 4, control: str = "controlnet") -> dict:
         rembg_model="synthetic", model_size="full",
         trust_aligned_completion=False,
         generate_res=1024, denoise_chunk=5 if control != "qwen" else 2,
-        image23d_batch=2,
-        # denoise activations scale with B next to the resident params
-        # (20B int4 = 10.7 GB; SDXL+ControlNet bf16 ~= 8 GB): two
-        # objects per device program is the 16 GB HBM envelope — B=4
-        # SDXL at 1024² RESOURCE_EXHAUSTs (first config4 chip run)
-        generate_obj_batch=2)
+        # B=2 image->3D works standalone (instantmesh.json batched_b2)
+        # but its VAE grid decode RESOURCE_EXHAUSTs AFTER the SDXL stage
+        # has come and gone (HBM fragmentation); B=1 is the reference's
+        # serial workload and costs ~25% of the batching win
+        image23d_batch=1,
+        # generation runs per-object: next to the resident full-size
+        # params (20B int4 = 10.7 GB; SDXL+ControlNet bf16 ~= 8 GB) even
+        # B=2 of 1024² denoise activations RESOURCE_EXHAUSTs the 16 GB
+        # chip (config4 chip runs, r4 B=4 and r5 B=2) — and B=1 is the
+        # reference's actual serial workload (main.py:46-54)
+        generate_obj_batch=1)
     _log(f"config4[{control}]: warm-up pass over {len(flags)} objects "
          f"(pays every compile)")
     t0 = time.time()

@@ -42,6 +42,7 @@ class ControlNetDepth:
     def __init__(self, cfg=None, adapter: bool = False, seed: int = 0):
         self.cfg = cfg or {}
         size = (cfg.get("model_size", "tiny") if cfg else "tiny")
+        self.size = size
         self.adapter = adapter
         self.unet_cfg = UNetConfig.preset("sdxl" if size == "full" else size)
         self.vae_cfg = VAEConfig.preset("tiny" if size != "full" else "full")
@@ -62,34 +63,54 @@ class ControlNetDepth:
         self.prompt_encoder = PromptEncoder(
             "tiny" if size != "full" else "full",
             weights_dir=(cfg.get("weights_dir") if cfg else None))
+        if size == "full":
+            # bf16 towers: 3.3 GB fp32 -> 1.65 GB (the UNet, ControlNet,
+            # VAE, towers and denoise activations all share one 16 GB
+            # chip; reference runs the whole stack fp16,
+            # tools/controlnet_depth.py:17-52)
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(jnp.bfloat16), t)
+            self.prompt_encoder.params_l = cast(self.prompt_encoder.params_l)
+            self.prompt_encoder.params_g = cast(self.prompt_encoder.params_g)
         self.rng = jax.random.PRNGKey(seed)
         self._params = None
         self._latent_hw = None
 
     # ------------------------------------------------------------------
     def _init_params(self, latent_hw: int):
-        rng = jax.random.PRNGKey(0)
-        ctx_dim = self.unet_cfg.context_dim
-        lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_cfg.in_channels))
-        ctx = jnp.zeros((1, 77, ctx_dim))
-        t = jnp.zeros((1,))
-        added = (jnp.zeros((1, self.unet_cfg.addition_embed_dim))
-                 if self.unet_cfg.addition_embed_dim else None)
-        side = latent_hw * self.factor
-        cond_img = jnp.zeros((1, side, side, 3))
-        if self.adapter:
-            cn_params = self.controlnet.init(jax.random.fold_in(rng, 1),
-                                             cond_img)
+        def build():
+            rng = jax.random.PRNGKey(0)
+            ctx_dim = self.unet_cfg.context_dim
+            lat = jnp.zeros((1, latent_hw, latent_hw,
+                             self.unet_cfg.in_channels))
+            ctx = jnp.zeros((1, 77, ctx_dim))
+            t = jnp.zeros((1,))
+            added = (jnp.zeros((1, self.unet_cfg.addition_embed_dim))
+                     if self.unet_cfg.addition_embed_dim else None)
+            side = latent_hw * self.factor
+            cond_img = jnp.zeros((1, side, side, 3))
+            if self.adapter:
+                cn_params = self.controlnet.init(
+                    jax.random.fold_in(rng, 1), cond_img)
+            else:
+                cn_params = self.controlnet.init(
+                    jax.random.fold_in(rng, 1), lat, t, ctx, cond_img,
+                    added_cond=added)
+            return {
+                "unet": self.unet.init(rng, lat, t, ctx, added_cond=added),
+                "controlnet": cn_params,
+                "vae": self.vae.init(jax.random.fold_in(rng, 2),
+                                     jnp.zeros((1, side, side, 3))),
+            }
+
+        if self.size == "full":
+            # never materialize the 15.6 GB fp32 tree (weights.py:
+            # random_bf16_params) — a real checkpoint grafts into the
+            # bf16 template (graft_weights casts to the template dtype)
+            from genpc_tpu.models.weights import random_bf16_params
+            params = random_bf16_params(jax.eval_shape(build))
         else:
-            cn_params = self.controlnet.init(
-                jax.random.fold_in(rng, 1), lat, t, ctx, cond_img,
-                added_cond=added)
-        params = {
-            "unet": self.unet.init(rng, lat, t, ctx, added_cond=added),
-            "controlnet": cn_params,
-            "vae": self.vae.init(jax.random.fold_in(rng, 2),
-                                 jnp.zeros((1, side, side, 3))),
-        }
+            params = build()
         weights_dir = self.cfg.get("weights_dir") if self.cfg else None
         if weights_dir:
             from genpc_tpu.models.weights import load_sdxl_controlnet
@@ -195,6 +216,34 @@ class ControlNetDepth:
         img = self.vae.apply(params["vae"], latents,
                              method=AutoencoderKL.decode)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def release(self):
+        """Terminally free every device param buffer of this backend.
+
+        The denoise/decode methods are jitted with ``self`` static, so
+        the global pjit cache holds a strong reference to this instance
+        — and through it to ``self._params`` (9.4 GB at the SDXL full
+        preset).  Dropping the backend + ``gc.collect()`` therefore
+        never returns the HBM (measured: live_arrays unchanged).
+        ``jax.Array.delete()`` frees the device buffers regardless of
+        Python references (same protocol as QwenVLEncoder.release).
+        The backend is unusable afterwards; ``run_batched`` calls this
+        at the generate -> image-to-3D stage boundary, where the
+        reference likewise frees the depth2image stack
+        (main_lidar.py:12-16, free_memory between stages).
+        """
+        trees = (self._params, self.prompt_encoder.params_l,
+                 self.prompt_encoder.params_g)
+        for tree in trees:
+            for leaf in jax.tree_util.tree_leaves(tree):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self._params = None
+        self.prompt_encoder.params_l = None
+        self.prompt_encoder.params_g = None
 
     # ------------------------------------------------------------------
     def generate(self, depth, category_or_flag: str, size: int = 512,

@@ -217,6 +217,26 @@ class DiTDepthEdit:
                 if hasattr(leaf, "delete"):
                     leaf.delete()
 
+    def release(self):
+        """Terminally free all device AND pinned-host param buffers.
+
+        The jitted methods hold ``self`` static, so the pjit cache pins
+        this instance; explicit deletion is the only way its HBM (and
+        the 10+ GB pinned-host residency copies) come back.  Called by
+        ``run_batched`` at the generate -> image-to-3D boundary
+        (reference: main_lidar.py:12-16 free_memory between stages)."""
+        for tree in (self._params, self._params_host):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass
+        self._params = None
+        self._params_host = None
+        if getattr(self, "vl", None) is not None:
+            self.vl.release()
+
     # ------------------------------------------------------------ prompts
     def _encode_prompts(self, categories: Sequence[str],
                         depths01: np.ndarray):

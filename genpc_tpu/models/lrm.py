@@ -357,6 +357,7 @@ class InstantMeshBackend:
         self.cfg = cfg or {}
         size = (cfg.get("model_size", "tiny") if cfg else "tiny")
         full = size == "full"
+        self.full = full
         self.lrm_cfg = LRMConfig.preset("full" if full else "tiny")
         self.unet_cfg = UNetConfig.preset("sd2" if full else "tiny")
         self.vae_cfg = VAEConfig.preset("full" if full else "tiny")
@@ -382,30 +383,46 @@ class InstantMeshBackend:
         return 3 * vs // self.factor, 2 * vs // self.factor  # 3 rows x 2 cols
 
     def _init_params(self):
-        rng = jax.random.PRNGKey(0)
-        vs = self.lrm_cfg.view_size
-        gh, gw = self._grid_hw()
-        views = jnp.zeros((1, self.lrm_cfg.num_views, vs, vs, 3))
-        cams = jnp.zeros((1, self.lrm_cfg.num_views, 16))
-        pts = jnp.zeros((8, 3))
-        lat = jnp.zeros((1, gh, gw, self.unet_cfg.in_channels))
-        ctx = jnp.zeros((1, 16, self.unet_cfg.context_dim))
-        vp = self.vis_cfg.image_size
-        params = {
-            "lrm": self.lrm.init(rng, views, cams, pts),
-            "unet": self.unet.init(jax.random.fold_in(rng, 1), lat,
-                                   jnp.zeros((1,)), ctx),
-            "vae": self.vae.init(jax.random.fold_in(rng, 2),
-                                 jnp.zeros((1, vs, vs, 3))),
-            "clip_text": self.clip_text.init(
-                jax.random.fold_in(rng, 3),
-                jnp.zeros((1, self.txt_cfg.max_len), jnp.int32)),
-            "clip_vision": self.clip_vision.init(
-                jax.random.fold_in(rng, 4), jnp.zeros((1, vp, vp, 3))),
-            # zero123plus per-token ramping coefficients (pipeline config;
-            # overwritten by the shipped values on load)
-            "ramping": jnp.linspace(0.0, 1.0, self.txt_cfg.max_len),
-        }
+        def build():
+            rng = jax.random.PRNGKey(0)
+            vs = self.lrm_cfg.view_size
+            gh, gw = self._grid_hw()
+            views = jnp.zeros((1, self.lrm_cfg.num_views, vs, vs, 3))
+            cams = jnp.zeros((1, self.lrm_cfg.num_views, 16))
+            pts = jnp.zeros((8, 3))
+            lat = jnp.zeros((1, gh, gw, self.unet_cfg.in_channels))
+            ctx = jnp.zeros((1, 16, self.unet_cfg.context_dim))
+            vp = self.vis_cfg.image_size
+            return {
+                "lrm": self.lrm.init(rng, views, cams, pts),
+                "unet": self.unet.init(jax.random.fold_in(rng, 1), lat,
+                                       jnp.zeros((1,)), ctx),
+                "vae": self.vae.init(jax.random.fold_in(rng, 2),
+                                     jnp.zeros((1, vs, vs, 3))),
+                "clip_text": self.clip_text.init(
+                    jax.random.fold_in(rng, 3),
+                    jnp.zeros((1, self.txt_cfg.max_len), jnp.int32)),
+                "clip_vision": self.clip_vision.init(
+                    jax.random.fold_in(rng, 4), jnp.zeros((1, vp, vp, 3))),
+                # zero123plus per-token ramping coefficients (pipeline
+                # config; overwritten by the shipped values on load)
+                "ramping": jnp.linspace(0.0, 1.0, self.txt_cfg.max_len),
+            }
+
+        if self.full:
+            # full preset (2.3B params): materialize bf16 directly — an
+            # fp32 init next to the pipeline's other resident buffers
+            # RESOURCE_EXHAUSTs the 16 GB chip (see weights.py:
+            # random_bf16_params; reference runs zero123plus fp16,
+            # tools/instantmesh.py:65-113)
+            from genpc_tpu.models.weights import random_bf16_params
+            params = random_bf16_params(jax.eval_shape(build))
+            # ramping is pipeline CONFIG, not a weight — keep the real
+            # linspace values rather than the placeholder randoms
+            params["ramping"] = jnp.linspace(
+                0.0, 1.0, self.txt_cfg.max_len).astype(jnp.bfloat16)
+        else:
+            params = build()
         weights_dir = self.cfg.get("weights_dir") if self.cfg else None
         if weights_dir:
             from genpc_tpu.models.weights import load_instantmesh
@@ -626,6 +643,22 @@ class InstantMeshBackend:
             meshes.append(Mesh(verts.astype(np.float32),
                                faces.astype(np.int32), rgb))
         return meshes
+
+    def release(self):
+        """Terminally free every device param buffer of this backend.
+
+        The jitted methods hold ``self`` static, so the global pjit
+        cache pins this instance and its ~2.3B-param tree; explicit
+        buffer deletion is the only way to return the HBM (see
+        ControlNetDepth.release for the measurement).  Called by
+        ``run_batched`` before the pose-optimization stage (the
+        reference frees between stages, main_lidar.py:12-16)."""
+        for leaf in jax.tree_util.tree_leaves(self._params):
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+        self._params = None
 
     def _prep_image(self, image_nobg) -> np.ndarray:
         """RGBA/RGB [H,W,*] in [0,1] -> alpha-matted [vs,vs,3]."""

@@ -19,6 +19,8 @@ import os
 import re
 from typing import Dict, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -137,6 +139,38 @@ def converted_shape(torch_shape: Tuple[int, ...],
     if len(t) == 2 and len(flax_shape) == 2 and t[::-1] == tuple(flax_shape):
         return t[::-1]
     return t
+
+
+def random_bf16_params(shapes_tree, seed: int = 0):
+    """Materialize a parameter tree on device directly in bf16.
+
+    For the full-size presets a flax ``init`` would materialize fp32
+    first (param_dtype=f32): SDXL UNet+ControlNet+VAE is 3.9B params =
+    15.6 GB fp32 — RESOURCE_EXHAUSTED on a 16 GB chip before the cast
+    could run.  This builds each leaf from ``jax.eval_shape`` output in
+    one jitted program (no fp32 peak): norm/scale leaves = 1, biases =
+    0, kernels/embeddings = seeded normal * 0.02 (the synthetic-
+    checkpoint convention above).  The reference deploys SDXL at fp16
+    (tools/controlnet_depth.py:17-52, sdxl-vae-fp16-fix); bf16 is the
+    TPU-native equivalent."""
+    def mk(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        shape = tuple(leaf.shape)
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            return jnp.zeros(shape, leaf.dtype)
+        if name in ("scale",) or "norm" in name.lower():
+            return jnp.ones(shape, jnp.bfloat16)
+        if name == "bias":
+            return jnp.zeros(shape, jnp.bfloat16)
+        key = jax.random.PRNGKey(seed)
+        for k in path:
+            key = jax.random.fold_in(
+                key, hash(str(getattr(k, "key", k))) & 0x7FFFFFFF)
+        return (jax.random.normal(key, shape, jnp.bfloat16)
+                * jnp.bfloat16(0.02))
+
+    return jax.jit(lambda: jax.tree_util.tree_map_with_path(
+        mk, shapes_tree))()
 
 
 def synthetic_checkpoint(spec: Dict[str, Tuple[int, ...]], seed: int = 0
